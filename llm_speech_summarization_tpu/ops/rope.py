@@ -1,0 +1,91 @@
+"""Rotary position embeddings (RoPE), HF-Llama compatible.
+
+Needed for exact numerical parity with the frozen HF teacher
+(reference: model/audio_llama.py wraps HF LlamaForCausalLM, whose RoPE uses
+the rotate-half convention with an optional Llama-3 frequency rescaling).
+Parity here is what makes converted HF weights produce matching logits.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class Llama3RopeScaling:
+    """HF `rope_scaling` with rope_type="llama3" (Llama-3.2 checkpoints)."""
+
+    factor: float = 32.0
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
+
+
+def rope_inv_freq(
+    head_dim: int,
+    theta: float = 10000.0,
+    scaling: Optional[Llama3RopeScaling] = None,
+) -> jnp.ndarray:
+    """Inverse frequencies (head_dim/2,), float32, with optional llama3 scaling.
+
+    Mirrors HF `ROPE_INIT_FUNCTIONS["llama3"]`: low-frequency bands are
+    divided by `factor`, high-frequency bands kept, and the middle smoothly
+    interpolated.
+    """
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    if scaling is None:
+        return inv_freq
+
+    low_freq_wavelen = scaling.original_max_position_embeddings / scaling.low_freq_factor
+    high_freq_wavelen = scaling.original_max_position_embeddings / scaling.high_freq_factor
+    wavelen = 2.0 * math.pi / inv_freq
+
+    scaled = inv_freq / scaling.factor
+    smooth = (scaling.original_max_position_embeddings / wavelen - scaling.low_freq_factor) / (
+        scaling.high_freq_factor - scaling.low_freq_factor
+    )
+    mid = (1.0 - smooth) * scaled + smooth * inv_freq
+    out = jnp.where(wavelen > low_freq_wavelen, scaled, inv_freq)
+    is_mid = (wavelen <= low_freq_wavelen) & (wavelen >= high_freq_wavelen)
+    return jnp.where(is_mid, mid, out)
+
+
+def rope_cos_sin(positions: jnp.ndarray, inv_freq: jnp.ndarray, dtype=jnp.float32):
+    """cos/sin tables for integer positions.
+
+    positions: (..., T) int32 → cos, sin: (..., T, head_dim) where the
+    head_dim axis is the HF layout [freqs, freqs] (duplicated halves).
+    """
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # (..., T, D/2)
+    angles = jnp.concatenate([angles, angles], axis=-1)  # (..., T, D)
+    return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(
+    x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray
+) -> jnp.ndarray:
+    """Apply rotary embeddings.
+
+    x: (B, T, H, Dh); positions: (B, T) or (T,) int32.
+    Uses the HF rotate-half convention: out = x*cos + rotate_half(x)*sin,
+    computed in float32 and cast back to x.dtype.
+    """
+    if positions.ndim == 1:
+        positions = positions[None, :]
+    cos, sin = rope_cos_sin(positions, inv_freq)  # (B, T, Dh)
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    xf = x.astype(jnp.float32)
+    out = xf * cos + _rotate_half(xf) * sin
+    return out.astype(x.dtype)

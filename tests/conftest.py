@@ -1,0 +1,17 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Every sharded test runs on this mesh and the same code runs unchanged on a
+real TPU slice (SURVEY.md §4 "distributed without a cluster").
+Must run before the first `import jax`.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# repo root importable regardless of cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

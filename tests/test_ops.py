@@ -1,0 +1,229 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_speech_summarization_tpu.ops import (
+    avg_pool_time,
+    ctc_segment_mean,
+    dot_product_attention,
+    make_attention_bias,
+    rms_norm,
+    soft_cross_entropy,
+    splice_sequences,
+    stack_downsample,
+)
+from llm_speech_summarization_tpu.ops.splice import concat_mid_buffers
+from llm_speech_summarization_tpu.ops.losses import response_cross_entropy
+
+
+def test_avg_pool_matches_numpy():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 37, 8).astype(np.float32)
+    out = np.asarray(avg_pool_time(jnp.asarray(x), kernel_size=8, stride=4))
+    expected_len = (37 - 8) // 4 + 1
+    assert out.shape == (2, expected_len, 8)
+    for i in range(expected_len):
+        np.testing.assert_allclose(out[:, i], x[:, i * 4 : i * 4 + 8].mean(1), rtol=1e-5)
+
+
+def test_stack_downsample_shapes_and_values():
+    rng = np.random.RandomState(1)
+    for n in [16, 17, 18, 19]:  # includes N % 4 == 0 (the reference crash case)
+        x = rng.randn(3, n, 4).astype(np.float32)
+        out = np.asarray(stack_downsample(jnp.asarray(x), 4))
+        assert out.shape == (3, n // 4, 16)
+        np.testing.assert_allclose(out[1, 0], x[1, :4].reshape(-1), rtol=1e-6)
+
+
+def test_ctc_segment_mean_matches_loop():
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 50, 6).astype(np.float32)
+    ranges = np.zeros((2, 5, 2), np.int32)
+    ranges[0] = [(0, 4), (4, 8), (10, 11), (11, 30), (0, 0)]
+    ranges[1] = [(3, 7), (20, 24), (24, 50), (0, 0), (0, 0)]
+    pooled, valid = ctc_segment_mean(jnp.asarray(x), jnp.asarray(ranges))
+    pooled = np.asarray(pooled)
+    for b in range(2):
+        for g in range(5):
+            s, e = ranges[b, g]
+            if e > s:
+                np.testing.assert_allclose(pooled[b, g], x[b, s:e].mean(0), rtol=1e-4, atol=1e-5)
+            else:
+                np.testing.assert_allclose(pooled[b, g], 0.0)
+    assert bool(valid[0, 3]) and not bool(valid[0, 4])
+
+
+def test_attention_matches_naive_causal():
+    rng = np.random.RandomState(3)
+    B, T, H, D = 2, 9, 4, 8
+    q = rng.randn(B, T, H, D).astype(np.float32)
+    k = rng.randn(B, T, 2, D).astype(np.float32)  # GQA: 2 kv heads
+    v = rng.randn(B, T, 2, D).astype(np.float32)
+    valid = np.ones((B, T), bool)
+    valid[1, :3] = False  # left padding
+    bias = make_attention_bias(jnp.asarray(valid), jnp.asarray(valid), causal=True)
+    out = np.asarray(
+        dot_product_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), bias)
+    )
+
+    # naive reference
+    scale = D**-0.5
+    for b in range(B):
+        for h in range(H):
+            kk, vv = k[b, :, h // 2], v[b, :, h // 2]
+            for t in range(T):
+                logits = (q[b, t, h] @ kk.T) * scale
+                mask = (np.arange(T) <= t) & valid[b]
+                if not valid[b, t]:
+                    continue  # garbage rows are masked downstream
+                logits = np.where(mask, logits, -1e30)
+                p = np.exp(logits - logits.max())
+                p /= p.sum()
+                np.testing.assert_allclose(out[b, t, h], p @ vv, rtol=2e-4, atol=2e-5)
+
+
+def _make_splice_inputs(B=2, P=3, S=2, M=5, R=4, D=8, V=32, seed=0):
+    rng = np.random.RandomState(seed)
+    table = rng.randn(V, D).astype(np.float32)
+    prefix = np.array([1, 5, 6], np.int32)
+    suffix = np.array([7, 8], np.int32)
+    mid = rng.randn(B, M, D).astype(np.float32)
+    mid_lens = np.array([5, 3], np.int32)
+    resp = rng.randint(1, V, (B, R)).astype(np.int32)
+    resp_lens = np.array([4, 2], np.int32)
+    return table, prefix, suffix, mid, mid_lens, resp, resp_lens
+
+
+def test_splice_matches_reference_layout():
+    table, prefix, suffix, mid, mid_lens, resp, resp_lens = _make_splice_inputs()
+    out = splice_sequences(
+        jnp.asarray(table),
+        jnp.asarray(prefix),
+        jnp.asarray(suffix),
+        jnp.asarray(mid),
+        jnp.asarray(mid_lens),
+        jnp.asarray(resp),
+        jnp.asarray(resp_lens),
+    )
+    B, P, S = 2, 3, 2
+    L = P + 5 + S + 4
+    assert out.embeds.shape == (B, L, 8)
+
+    # reference-style per-sample construction: [prefix, mid, suffix, resp] left-padded
+    for b in range(B):
+        parts = [
+            table[prefix],
+            mid[b, : mid_lens[b]],
+            table[suffix],
+            table[resp[b, : resp_lens[b]]],
+        ]
+        seq = np.concatenate(parts, 0)
+        pad = L - seq.shape[0]
+        np.testing.assert_allclose(np.asarray(out.embeds)[b, pad:], seq, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.embeds)[b, :pad], 0.0)
+        am = np.asarray(out.attn_mask)[b]
+        assert am[:pad].sum() == 0 and am[pad:].all()
+        # labels: positions holding resp[j] predict resp[j+1]
+        r = int(resp_lens[b])
+        lm = np.asarray(out.loss_mask)[b]
+        lab = np.asarray(out.labels)[b]
+        resp_start = L - r
+        assert lm.sum() == r - 1
+        assert lm[resp_start : L - 1].all()
+        np.testing.assert_array_equal(lab[resp_start : L - 1], resp[b, 1:r])
+        rm = np.asarray(out.response_mask)[b]
+        assert rm.sum() == r and rm[resp_start:].all()
+
+
+def test_splice_generation_prompt_no_response():
+    table, prefix, suffix, mid, mid_lens, _, _ = _make_splice_inputs()
+    out = splice_sequences(
+        jnp.asarray(table),
+        jnp.asarray(prefix),
+        jnp.asarray(suffix),
+        jnp.asarray(mid),
+        jnp.asarray(mid_lens),
+    )
+    assert out.embeds.shape[1] == 3 + 5 + 2
+    assert int(out.loss_mask.sum()) == 0
+    # last position must be the final suffix token for every sample
+    np.testing.assert_allclose(
+        np.asarray(out.embeds)[:, -1], np.tile(table[suffix[-1]], (2, 1)), rtol=1e-6
+    )
+
+
+def test_splice_padding_invariance():
+    # widening the static buffers must not change the unpadded content
+    table, prefix, suffix, mid, mid_lens, resp, resp_lens = _make_splice_inputs()
+    out1 = splice_sequences(
+        jnp.asarray(table), jnp.asarray(prefix), jnp.asarray(suffix),
+        jnp.asarray(mid), jnp.asarray(mid_lens), jnp.asarray(resp), jnp.asarray(resp_lens),
+    )
+    mid_wide = np.concatenate([mid, np.zeros((2, 3, 8), np.float32)], 1)
+    resp_wide = np.concatenate([resp, np.zeros((2, 2), np.int32)], 1)
+    out2 = splice_sequences(
+        jnp.asarray(table), jnp.asarray(prefix), jnp.asarray(suffix),
+        jnp.asarray(mid_wide), jnp.asarray(mid_lens), jnp.asarray(resp_wide),
+        jnp.asarray(resp_lens),
+    )
+    L1, L2 = out1.embeds.shape[1], out2.embeds.shape[1]
+    for b in range(2):
+        n = int(out1.seq_lens[b])
+        np.testing.assert_allclose(
+            np.asarray(out2.embeds)[b, L2 - n :], np.asarray(out1.embeds)[b, L1 - n :], rtol=1e-6
+        )
+
+
+def test_concat_mid_buffers():
+    rng = np.random.RandomState(5)
+    a = rng.randn(2, 4, 3).astype(np.float32)
+    b = rng.randn(2, 3, 3).astype(np.float32)
+    al = np.array([2, 4], np.int32)
+    bl = np.array([3, 1], np.int32)
+    out, lens = concat_mid_buffers(jnp.asarray(a), jnp.asarray(al), jnp.asarray(b), jnp.asarray(bl))
+    assert out.shape == (2, 7, 3)
+    np.testing.assert_array_equal(np.asarray(lens), [5, 5])
+    np.testing.assert_allclose(np.asarray(out)[0, :2], a[0, :2])
+    np.testing.assert_allclose(np.asarray(out)[0, 2:5], b[0, :3])
+    np.testing.assert_allclose(np.asarray(out)[0, 5:], 0)
+    np.testing.assert_allclose(np.asarray(out)[1, :4], a[1, :4])
+    np.testing.assert_allclose(np.asarray(out)[1, 4:5], b[1, :1])
+
+
+def test_soft_cross_entropy_identities():
+    rng = np.random.RandomState(6)
+    s = rng.randn(2, 5, 11).astype(np.float32)
+    mask = np.ones((2, 5), bool)
+    # teacher == student → soft CE equals entropy of softmax(s)
+    val = float(soft_cross_entropy(jnp.asarray(s), jnp.asarray(s), jnp.asarray(mask)))
+    p = jax.nn.softmax(jnp.asarray(s), -1)
+    ent = float(jnp.mean(-jnp.sum(p * jnp.log(p), -1)))
+    assert abs(val - ent) < 1e-5
+    # masked-out positions don't contribute
+    mask2 = mask.copy()
+    mask2[1] = False
+    t = rng.randn(2, 5, 11).astype(np.float32)
+    v_masked = float(soft_cross_entropy(jnp.asarray(s), jnp.asarray(t), jnp.asarray(mask2)))
+    v_first = float(
+        soft_cross_entropy(jnp.asarray(s[:1]), jnp.asarray(t[:1]), jnp.asarray(mask[:1]))
+    )
+    assert abs(v_masked - v_first) < 1e-5
+
+
+def test_response_ce_matches_manual():
+    rng = np.random.RandomState(7)
+    B, L, V = 2, 6, 9
+    logits = rng.randn(B, L, V).astype(np.float32)
+    labels = rng.randint(0, V, (B, L)).astype(np.int32)
+    mask = np.zeros((B, L), bool)
+    mask[0, 3:5] = True
+    mask[1, 1:6] = True
+    got = float(response_cross_entropy(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask)))
+    # manual per-sample mean then batch mean
+    total = 0.0
+    for b in range(B):
+        lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits[b]), -1))
+        nll = [-lp[t, labels[b, t]] for t in range(L) if mask[b, t]]
+        total += np.mean(nll)
+    assert abs(got - total / B) < 1e-5
