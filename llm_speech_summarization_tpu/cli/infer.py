@@ -1,0 +1,53 @@
+"""Inference CLI.
+
+Flag parity with the reference entrypoint (reference: inference.py:140-178):
+  -c/--config, -p/--audio_encoder_checkpoint, -a/--audio_file,
+  plus --text for the interleaved additional_text_prompt path and
+  --max_new_tokens (reference hardcodes 512, inference.py:174).
+
+Usage: python -m llm_speech_summarization_tpu.cli.infer -c <yaml> -a <wav>
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True,
+                        help="yaml file for configuration")
+    parser.add_argument("-p", "--audio_encoder_checkpoint", type=str, default=None,
+                        help="path to audio encoder checkpoint (Orbax export)")
+    parser.add_argument("-a", "--audio_file", type=str, required=True,
+                        help="audio file containing speech utterance to be used in prompt")
+    parser.add_argument("--text", type=str, default="",
+                        help="additional text prompt placed before the audio")
+    parser.add_argument("--max_new_tokens", type=int, default=512)
+    args = parser.parse_args(argv)
+
+    from ..configs import load_config
+    from ..data.audio_io import load_wav
+    from ..infer.engine import LLMSpeechTextInference
+
+    config = load_config(args.config)
+    engine = LLMSpeechTextInference(config)
+    if args.audio_encoder_checkpoint:
+        from ..train.checkpoint import load_encoder
+
+        engine.audio_encoder_params = load_encoder(
+            args.audio_encoder_checkpoint, engine.audio_encoder_params
+        )
+
+    audio = load_wav(args.audio_file, target_sr=config.audio.sampling_rate)
+    response = engine.generate_audio_response(
+        audio,
+        additional_text_prompt=args.text,
+        max_new_tokens=args.max_new_tokens,
+    )
+    print("LLM Response:\n")
+    print(response)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Preprocessing CLI — run the 4-step pipeline over a raw split.
+
+Reference counterpart: preprocess_data/preprocess.py (MiniChat) and
+preprocess_data/preprocess_llama3.py (Llama-3) __main__ blocks with
+hardcoded paths/GPU (reference: preprocess.py:25,56). Here: one CLI, any
+config, paths as flags.
+
+Raw input: either an HF dataset on disk with {audio, text} columns
+(LibriSpeech-style) or --synthetic N for fixture generation.
+
+Usage:
+  python -m llm_speech_summarization_tpu.cli.preprocess -c <yaml> \
+      --input <hf_dataset_dir> --output <out_dir> [--ctc]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("--input", type=str, default=None,
+                        help="HF dataset dir with {audio, text} columns")
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="generate N synthetic raw examples instead of --input")
+    parser.add_argument("--output", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--limit", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    import numpy as np
+
+    from ..configs import load_config
+    from ..data.preprocess import preprocess_examples, save_preprocessed
+    from ..infer.engine import LLMSpeechTextInference
+
+    config = load_config(args.config)
+    engine = LLMSpeechTextInference(config)
+
+    if args.synthetic:
+        from ..data.datasets import SyntheticSpeechDataset
+
+        ds = SyntheticSpeechDataset(engine.tokenizer, num_samples=args.synthetic)
+        examples = [{"audio": ds[i]["audio"], "text": ds[i]["text"]} for i in range(len(ds))]
+    else:
+        assert args.input, "--input or --synthetic required"
+        from datasets import load_from_disk
+
+        raw = load_from_disk(args.input)
+        n = len(raw) if args.limit is None else min(args.limit, len(raw))
+        examples = []
+        for i in range(n):
+            row = raw[i]
+            audio = row["audio"]
+            wav = np.asarray(audio["array"] if isinstance(audio, dict) else audio, np.float32)
+            examples.append({"audio": wav, "text": row["text"]})
+
+    rows = preprocess_examples(
+        examples,
+        engine,
+        engine.tokenizer,
+        ctc_fn=None,  # CTC offsets need a CTC-head checkpoint; see data/preprocess.py
+        max_seconds=config.audio.max_seconds,
+        sampling_rate=config.audio.sampling_rate,
+        response_batch_size=args.batch_size,
+    )
+    save_preprocessed(rows, args.output)
+    print(f"wrote {len(rows)} examples to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

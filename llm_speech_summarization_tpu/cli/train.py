@@ -1,0 +1,46 @@
+"""Training CLI.
+
+Flag parity with the reference entrypoint (reference: train.py:9-27):
+  -c/--config   YAML config path
+  -n/--name     run name (checkpoint/log subdirectory)
+  -p/--checkpoint_path  resume checkpoint
+The reference's -g/--gpu_idx is meaningless on TPU (devices come from the
+mesh); superseded by --mesh "data,model" axis sizes.
+
+Usage:  python -m llm_speech_summarization_tpu.cli.train -c <yaml> -n <name>
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True,
+                        help="yaml file for configuration")
+    parser.add_argument("-n", "--name", type=str, required=True,
+                        help="name of the model for logging and saving checkpoints")
+    parser.add_argument("-p", "--checkpoint_path", type=str, default=None,
+                        help="path of checkpoint for resuming training")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="override mesh as 'data,model' (e.g. '4,2')")
+    args = parser.parse_args(argv)
+
+    from ..configs import load_config
+    from ..parallel.mesh import make_mesh
+    from ..train.trainer import Trainer
+
+    config = load_config(args.config)
+    if args.mesh:
+        d, m = (int(x) for x in args.mesh.split(","))
+        config.train.mesh.data = d
+        config.train.mesh.model = m
+
+    mesh = make_mesh(config)
+    trainer = Trainer(config, run_name=args.name, checkpoint_path=args.checkpoint_path, mesh=mesh)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -179,6 +179,11 @@ def _build(cls: Any, raw: Any, path: str) -> Any:
             kwargs[name] = _build(sub, value, f"{path}.{name}")
         elif isinstance(value, list):
             kwargs[name] = tuple(value)
+        elif isinstance(value, str) and "float" in str(f.type):
+            # YAML 1.1 parses "5e-5" (no dot) as a string; coerce per schema
+            kwargs[name] = float(value)
+        elif isinstance(value, str) and str(f.type) in ("int", "Optional[int]"):
+            kwargs[name] = int(value)
         else:
             kwargs[name] = value
     return cls(**kwargs)

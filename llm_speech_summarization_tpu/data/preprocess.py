@@ -1,0 +1,230 @@
+"""Offline preprocessing pipeline.
+
+Reference pipeline (reference: preprocess_data/preprocess.py:24-141,
+preprocess_llama3.py:21-129), one job per dataset split:
+  1. generate LLM responses to each transcript (the dominant cost,
+     reference: README.md:82) — here a batched, jitted TPU generation job
+     instead of HF eager generate at bs≤8;
+  2. tokenize transcript + response → text_input_ids / response_input_ids
+     (reference: preprocess_data/utils.py:105-124);
+  3. HuBERT-CTC word offsets via greedy argmax decode
+     (reference: preprocess_data/utils.py:127-152), with the 20 s clip
+     filter (reference: preprocess_data/utils.py:130);
+  4. CTC pool ranges: word spans tiled into width-4 windows, inter-word
+     gaps kept as single ranges (reference: preprocess_data/utils.py:155-188).
+
+Outputs an HF dataset on disk with the reference's column schema
+(audio, text, text_input_ids, llm_response, response_input_ids,
+hubert_word_offsets, pool_ranges_4).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.tokenizer import Tokenizer
+
+
+# ---------------------------------------------------------------------------
+# Step 1: batched LLM response generation
+# ---------------------------------------------------------------------------
+
+
+def generate_llm_responses(
+    engine,
+    transcripts: Sequence[str],
+    batch_size: int = 32,
+    lowercase: bool = True,
+    max_new_factor: int = 2,
+) -> List[str]:
+    """Generate a response for each transcript with the frozen LLM.
+
+    Mirrors run_llm_prompt_inference_batched (reference:
+    preprocess_data/utils.py:68-102): templated prompt, generation budget of
+    ``max_new_factor ×`` the prompt length. ``engine`` is an
+    LLMSpeechTextInference; batching + jitted decode replace the reference's
+    eager bs=8 (MiniChat) / bs=1 (Llama-3) loops.
+    """
+    out: List[str] = []
+    for i in range(0, len(transcripts), batch_size):
+        chunk = [t.lower() if lowercase else t for t in transcripts[i : i + batch_size]]
+        max_prompt = max(len(engine.tokenizer.encode(engine.template.full_text_prompt(t))) for t in chunk)
+        out.extend(
+            engine.generate_text_response_batch(chunk, max_new_tokens=max_new_factor * max_prompt)
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Step 2: tokenization
+# ---------------------------------------------------------------------------
+
+
+def tokenize_example(
+    text: str, llm_response: str, tokenizer: Tokenizer
+) -> Dict[str, np.ndarray]:
+    """Transcript is lowercased like the reference
+    (reference: preprocess_data/utils.py:107); ids keep the leading BOS —
+    the data loader strips it, preserving the reference's collate-time
+    convention (reference: trainer.py:155-156)."""
+    return {
+        "text_input_ids": np.asarray(tokenizer.encode(text.lower(), add_bos=True), np.int32),
+        "response_input_ids": np.asarray(
+            tokenizer.encode(llm_response, add_bos=True), np.int32
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Step 3: CTC word offsets
+# ---------------------------------------------------------------------------
+
+
+def ctc_collapse_with_offsets(
+    pred_ids: np.ndarray, blank_id: int
+) -> List[Tuple[int, int, int]]:
+    """Greedy CTC collapse keeping frame offsets.
+
+    pred_ids: (T,) framewise argmax ids → list of (token_id, start, end)
+    where [start, end) is the run of frames that produced the token.
+    Matches HF's `decode(..., output_word_offsets=True)` offset semantics
+    (offsets in encoder frames).
+    """
+    out: List[Tuple[int, int, int]] = []
+    prev = None
+    start = 0
+    for t, tok in enumerate(list(pred_ids) + [None]):
+        if tok != prev:
+            if prev is not None and prev != blank_id:
+                out.append((int(prev), start, t))
+            start = t
+            prev = tok
+    return out
+
+
+def word_offsets_from_ctc(
+    pred_ids: np.ndarray, blank_id: int, word_delim_id: int
+) -> List[Dict[str, int]]:
+    """Group collapsed CTC tokens into word (start_offset, end_offset) spans,
+    splitting at the word delimiter — the structure the reference stores as
+    `hubert_word_offsets` (reference: preprocess_data/utils.py:141-152)."""
+    tokens = ctc_collapse_with_offsets(pred_ids, blank_id)
+    words: List[Dict[str, int]] = []
+    cur_start: Optional[int] = None
+    cur_end: Optional[int] = None
+    for tok, s, e in tokens:
+        if tok == word_delim_id:
+            if cur_start is not None:
+                words.append({"start_offset": cur_start, "end_offset": cur_end})
+                cur_start = None
+        else:
+            if cur_start is None:
+                cur_start = s
+            cur_end = e
+    if cur_start is not None:
+        words.append({"start_offset": cur_start, "end_offset": cur_end})
+    return words
+
+
+# ---------------------------------------------------------------------------
+# Step 4: pool ranges
+# ---------------------------------------------------------------------------
+
+
+def get_ctc_pool_ranges(
+    word_offsets: List[Dict[str, int]], pool_range: int = 4
+) -> List[Tuple[int, int]]:
+    """Word spans → width-`pool_range` windows; gaps → single ranges.
+
+    Semantics match the reference exactly (reference:
+    preprocess_data/utils.py:155-188): a leading gap from frame 0, window
+    tiling within each word (last window may overrun the word end), single
+    ranges for inter-word gaps, and a trailing gap of 2×pool_range frames.
+    Empty gap ranges (adjacent words) are dropped here — they produced NaN
+    means in the reference (torch.mean over an empty slice,
+    model/audio_encoder.py:78-81).
+    """
+    if not word_offsets:
+        return []
+    spans = [(w["start_offset"], w["end_offset"]) for w in word_offsets]
+    segments: List[Tuple[int, int, int]] = [(0, 0, spans[0][0])]
+    for i in range(len(spans) - 1):
+        segments.append((1, spans[i][0], spans[i][1]))
+        segments.append((0, spans[i][1], spans[i + 1][0]))
+    segments.append((1, spans[-1][0], spans[-1][1]))
+    segments.append((0, spans[-1][1], spans[-1][1] + pool_range * 2))
+
+    ranges: List[Tuple[int, int]] = []
+    for is_word, start, end in segments:
+        if is_word:
+            s = start
+            while s < end:
+                ranges.append((s, s + pool_range))
+                s += pool_range
+        elif end > start:  # drop empty gaps (reference kept them → NaNs)
+            ranges.append((start, end))
+    return ranges
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+
+def preprocess_examples(
+    examples: List[dict],
+    engine,
+    tokenizer: Tokenizer,
+    ctc_fn=None,
+    max_seconds: float = 20.0,
+    sampling_rate: int = 16000,
+    response_batch_size: int = 32,
+) -> List[dict]:
+    """Run the 4-step pipeline over raw {audio, text} examples.
+
+    ``ctc_fn(wav) -> (pred_ids, blank_id, word_delim_id)`` supplies CTC
+    framewise predictions (None → steps 3-4 emit empty columns, exactly the
+    reference's Llama-3 variant, reference: preprocess_llama3.py:113-122).
+    """
+    kept = [
+        e for e in examples if len(e["audio"]) / sampling_rate <= max_seconds
+    ]  # reference: preprocess_data/utils.py:130
+    responses = generate_llm_responses(
+        engine, [e["text"] for e in kept], batch_size=response_batch_size
+    )
+    out = []
+    for e, resp in zip(kept, responses):
+        row = dict(e)
+        row["llm_response"] = resp
+        row.update(tokenize_example(e["text"], resp, tokenizer))
+        if ctc_fn is not None:
+            pred_ids, blank_id, delim_id = ctc_fn(e["audio"])
+            offsets = word_offsets_from_ctc(pred_ids, blank_id, delim_id)
+            row["hubert_word_offsets"] = offsets
+            row["pool_ranges_4"] = np.asarray(
+                get_ctc_pool_ranges(offsets, 4), np.int32
+            ).reshape(-1, 2)
+        else:
+            row["hubert_word_offsets"] = []
+            row["pool_ranges_4"] = np.zeros((0, 2), np.int32)
+        out.append(row)
+    return out
+
+
+def save_preprocessed(rows: List[dict], path: str) -> None:
+    """Write rows as an HF dataset on disk with the reference's column
+    schema (reference: preprocess.py:137-141)."""
+    import datasets as hfds
+
+    table = {
+        "audio": [np.asarray(r["audio"], np.float32) for r in rows],
+        "text": [r["text"] for r in rows],
+        "text_input_ids": [r["text_input_ids"].tolist() for r in rows],
+        "llm_response": [r["llm_response"] for r in rows],
+        "response_input_ids": [r["response_input_ids"].tolist() for r in rows],
+        "hubert_word_offsets": [r["hubert_word_offsets"] for r in rows],
+        "pool_ranges_4": [np.asarray(r["pool_ranges_4"]).reshape(-1, 2).tolist() for r in rows],
+    }
+    hfds.Dataset.from_dict(table).save_to_disk(path)

@@ -1,0 +1,231 @@
+"""LLMSpeechTextInference — the product inference API.
+
+Parity surface with the reference engine (reference: inference.py:18-137):
+  * ``generate_text_response(input_text, max_new_tokens)``
+    (reference: inference.py:76-93)
+  * ``generate_audio_response(audio, additional_text_prompt, max_new_tokens)``
+    including the interleaved text+audio prompt path
+    (reference: inference.py:95-137)
+
+TPU-native beyond the reference:
+  * batched variants (``*_batch``) — the reference is strictly bs=1;
+  * shape bucketing so XLA compiles one program per (prefill, max_new)
+    bucket instead of per utterance length;
+  * the whole prefill+decode loop is a single jitted function
+    (infer/generate.py) instead of HF's eager generate;
+  * the ctc_pool inference path actually works (the reference calls an
+    undefined ``get_ctc_pool_ranges``, reference: inference.py:102).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import Config
+from ..models.audio_encoder import (
+    audio_encoder_forward,
+    encoder_setup_from_config,
+    init_audio_encoder,
+)
+from ..models.llama import LlamaConfig, init_llama_params, llama_preset
+from ..ops.splice import concat_mid_buffers, splice_sequences
+from ..utils.prompts import prompt_template_for
+from ..utils.tokenizer import Tokenizer, load_tokenizer
+from .generate import greedy_generate
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class LLMSpeechTextInference:
+    def __init__(
+        self,
+        config: Config,
+        audio_encoder_params=None,
+        llm_params=None,
+        llm_cfg: Optional[LlamaConfig] = None,
+        tokenizer: Optional[Tokenizer] = None,
+        rng: Optional[jax.Array] = None,
+        temperature: float = 0.0,
+        bucket: int = 64,
+    ):
+        self.config = config
+        self.temperature = temperature
+        self.bucket = bucket
+        self.dtype = jnp.dtype(config.model.compute_dtype)
+        rng = rng if rng is not None else jax.random.PRNGKey(config.seed_everything)
+        k_enc, k_llm = jax.random.split(rng)
+
+        # LLM (frozen; reference: inference.py:46-52)
+        self.llm_cfg = llm_cfg or llama_preset(config.model.llm_preset or config.model.llm_type)
+        param_dtype = jnp.dtype(config.model.param_dtype)
+        self.llm_params = (
+            llm_params
+            if llm_params is not None
+            else init_llama_params(k_llm, self.llm_cfg, dtype=param_dtype)
+        )
+
+        # Audio encoder (reference: inference.py:23-28)
+        self.encoder_setup = encoder_setup_from_config(config)
+        self.audio_encoder_params = (
+            audio_encoder_params
+            if audio_encoder_params is not None
+            else init_audio_encoder(k_enc, self.encoder_setup, dtype=param_dtype)
+        )
+
+        # Tokenizer + template (reference: inference.py:30-44)
+        self.llm_type = config.model.llm_type
+        self.tokenizer = tokenizer or load_tokenizer(self.llm_type)
+        tpl = prompt_template_for(self.llm_type)
+        self.template = tpl
+        self.prefix_ids = jnp.asarray(
+            self.tokenizer.encode(tpl.prefix, add_bos=True), jnp.int32
+        )
+        # BOS-strip convention for suffix (reference: utils.py:70-71)
+        self.suffix_ids = jnp.asarray(
+            self.tokenizer.encode(tpl.suffix, add_bos=False), jnp.int32
+        )
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _embed_tokens(self, ids: jnp.ndarray) -> jnp.ndarray:
+        return self.llm_params["embed_tokens"][ids].astype(self.dtype)
+
+    def _generate_from_embeds(
+        self, embeds: jnp.ndarray, attn_mask: jnp.ndarray, max_new_tokens: int, rng=None
+    ) -> List[str]:
+        """Run the jitted prefill+decode and detokenize
+        (reference: inference.py:55-74)."""
+        tokens, lens = greedy_generate(
+            self.llm_params,
+            self.llm_cfg,
+            embeds.astype(self.dtype),
+            attn_mask,
+            max_new_tokens=_round_up(max_new_tokens, self.bucket),
+            eos_id=self.tokenizer.eos_id,
+            temperature=self.temperature,
+            rng=rng,
+            cache_dtype=self.dtype,
+        )
+        tokens = np.asarray(tokens)
+        lens = np.asarray(lens)
+        out = []
+        for row, n in zip(tokens, lens):
+            n = min(int(n), max_new_tokens)
+            out.append(self.tokenizer.decode(row[:n].tolist(), skip_special_tokens=True))
+        return out
+
+    def _splice_generation_prompt(self, mid_embeds: jnp.ndarray, mid_lens: jnp.ndarray):
+        """[prefix | mid | suffix] left-padded to a bucketed length
+        (reference: utils.py:49-73)."""
+        P, S = self.prefix_ids.shape[0], self.suffix_ids.shape[0]
+        M = mid_embeds.shape[1]
+        total = _round_up(P + M + S, self.bucket)
+        table = self.llm_params["embed_tokens"].astype(self.dtype)
+        sp = splice_sequences(
+            table,
+            self.prefix_ids,
+            self.suffix_ids,
+            mid_embeds.astype(self.dtype),
+            mid_lens,
+            total_len=total,
+        )
+        return sp.embeds, sp.attn_mask
+
+    # ------------------------------------------------------------------
+    # public API (reference parity)
+    # ------------------------------------------------------------------
+
+    def generate_text_response(self, input_text: str, max_new_tokens: int = 256) -> str:
+        return self.generate_text_response_batch([input_text], max_new_tokens)[0]
+
+    def generate_text_response_batch(
+        self, input_texts: Sequence[str], max_new_tokens: int = 256
+    ) -> List[str]:
+        """Text-prompted generation (reference: inference.py:76-93), batched.
+
+        The full templated prompt is tokenized and embedded directly — no
+        splicing — exactly like the reference's f"{prefix} {text}{suffix} ".
+        """
+        ids_list = [
+            self.tokenizer.encode(self.template.full_text_prompt(t), add_bos=True)
+            for t in input_texts
+        ]
+        L = _round_up(max(len(i) for i in ids_list), self.bucket)
+        B = len(ids_list)
+        ids = np.zeros((B, L), np.int32)
+        mask = np.zeros((B, L), bool)
+        for b, row in enumerate(ids_list):  # left padding (reference: trainer.py:53)
+            ids[b, L - len(row):] = row
+            mask[b, L - len(row):] = True
+        embeds = self._embed_tokens(jnp.asarray(ids))
+        embeds = embeds * jnp.asarray(mask)[..., None].astype(embeds.dtype)
+        return self._generate_from_embeds(embeds, jnp.asarray(mask), max_new_tokens)
+
+    def generate_audio_response(
+        self,
+        audio: np.ndarray,
+        additional_text_prompt: str = "",
+        max_new_tokens: int = 256,
+        ctc_pool_ranges: Optional[np.ndarray] = None,
+    ) -> str:
+        return self.generate_audio_response_batch(
+            [audio],
+            additional_text_prompt=additional_text_prompt,
+            max_new_tokens=max_new_tokens,
+            ctc_pool_ranges=[ctc_pool_ranges] if ctc_pool_ranges is not None else None,
+        )[0]
+
+    def generate_audio_response_batch(
+        self,
+        audios: Sequence[np.ndarray],
+        additional_text_prompt: str = "",
+        max_new_tokens: int = 256,
+        ctc_pool_ranges: Optional[Sequence[np.ndarray]] = None,
+    ) -> List[str]:
+        """Audio(+text)-prompted generation (reference: inference.py:95-137),
+        batched over utterances of different lengths."""
+        B = len(audios)
+        lens = np.array([len(a) for a in audios], np.int32)
+        N = _round_up(int(lens.max()), 1600)  # 100 ms audio buckets
+        wav = np.zeros((B, N), np.float32)
+        for b, a in enumerate(audios):
+            wav[b, : len(a)] = a
+
+        ranges = None
+        if self.encoder_setup.downsample_method == "ctc_pool":
+            assert ctc_pool_ranges is not None, "ctc_pool needs pool ranges"
+            G = max(r.shape[0] for r in ctc_pool_ranges)
+            ranges = np.zeros((B, G, 2), np.int32)
+            for b, r in enumerate(ctc_pool_ranges):
+                ranges[b, : r.shape[0]] = r
+            ranges = jnp.asarray(ranges)
+
+        audio_embeds, emb_lens = audio_encoder_forward(
+            self.audio_encoder_params,
+            self.encoder_setup,
+            jnp.asarray(wav, self.dtype),
+            jnp.asarray(lens),
+            ctc_pool_ranges=ranges,
+        )
+
+        if len(additional_text_prompt) > 0:
+            # BOS-strip, embed, and place BEFORE the audio
+            # (reference: inference.py:113-122)
+            txt_ids = self.tokenizer.encode(additional_text_prompt, add_bos=False)
+            txt = jnp.asarray(np.tile(np.asarray(txt_ids, np.int32), (B, 1)))
+            txt_embeds = self._embed_tokens(txt)
+            txt_lens = jnp.full((B,), len(txt_ids), jnp.int32)
+            mid, mid_lens = concat_mid_buffers(txt_embeds, txt_lens, audio_embeds, emb_lens)
+        else:
+            mid, mid_lens = audio_embeds, emb_lens
+
+        embeds, mask = self._splice_generation_prompt(mid, mid_lens)
+        return self._generate_from_embeds(embeds, mask, max_new_tokens)

@@ -1,0 +1,156 @@
+"""Jitted generation: prefill on spliced embeddings + KV-cache decode loop.
+
+The reference delegates generation to HF ``model.generate`` with
+``inputs_embeds`` (reference: inference.py:55-74, trainer.py:530-545,
+preprocess_data/utils.py:49-65) — an eager Python loop over single-token
+forwards. Here the whole thing is ONE jitted function per
+(prefill_len, max_new_tokens) bucket:
+
+  * prefill: one batched forward over the left-padded embedding sequence,
+    writing the KV cache and yielding the first sampled token;
+  * decode: ``lax.while_loop`` over single-token forwards with an early exit
+    when every row has emitted EOS;
+  * greedy by default (the reference's choice, inference.py:58-64), with
+    temperature sampling available behind the same switch HF exposes.
+
+Static shapes throughout: cache length = prefill_len + max_new_tokens.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.llama import KVCache, LlamaConfig, init_kv_cache, llama_forward
+
+GenerateFn = Callable[..., jnp.ndarray]
+
+
+class _DecodeState(NamedTuple):
+    step: jnp.ndarray  # scalar int32
+    tokens: jnp.ndarray  # (B, max_new) emitted tokens (eos-padded)
+    last_token: jnp.ndarray  # (B, 1)
+    done: jnp.ndarray  # (B,)
+    cache: KVCache
+    kv_valid: jnp.ndarray  # (B, S)
+    rng: jax.Array
+
+
+def _sample(logits: jnp.ndarray, temperature: float, rng: jax.Array) -> jnp.ndarray:
+    """(B, V) logits → (B,) token ids."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(rng, logits / temperature, axis=-1).astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_id", "temperature", "cache_dtype"),
+)
+def greedy_generate(
+    params,
+    cfg: LlamaConfig,
+    inputs_embeds: jnp.ndarray,
+    attn_mask: jnp.ndarray,
+    *,
+    max_new_tokens: int,
+    eos_id: int,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    cache_dtype=jnp.bfloat16,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Generate up to ``max_new_tokens`` from a left-padded embeds batch.
+
+    Returns (tokens (B, max_new_tokens) int32, eos-padded; lengths (B,)).
+    """
+    B, L, _ = inputs_embeds.shape
+    S = L + max_new_tokens
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    cache = init_kv_cache(cfg, B, S, dtype=cache_dtype)
+    out = llama_forward(
+        params,
+        cfg,
+        inputs_embeds=inputs_embeds,
+        attn_mask=attn_mask,
+        kv_cache=cache,
+        cache_offset=jnp.int32(0),
+    )
+    rng, k0 = jax.random.split(rng)
+    first = _sample(out.logits[:, -1], temperature, k0)  # (B,)
+    lens = jnp.sum(attn_mask.astype(jnp.int32), axis=1)  # (B,) real prefill lengths
+
+    slots = jnp.arange(S, dtype=jnp.int32)[None, :]
+    kv_valid0 = jnp.pad(attn_mask, ((0, 0), (0, S - L)), constant_values=False)
+
+    tokens0 = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(first)
+    state = _DecodeState(
+        step=jnp.int32(1),
+        tokens=tokens0,
+        last_token=first[:, None],
+        done=first == eos_id,
+        cache=out.kv_cache,
+        kv_valid=kv_valid0,
+        rng=rng,
+    )
+
+    def cond(s: _DecodeState):
+        return (s.step < max_new_tokens) & ~jnp.all(s.done)
+
+    def body(s: _DecodeState):
+        offset = L + s.step - 1  # cache slot for the token being fed
+        kv_valid = s.kv_valid | (slots == offset)
+        positions = (lens + s.step - 1)[:, None]
+        out = llama_forward(
+            params,
+            cfg,
+            input_ids=s.last_token,
+            attn_mask=jnp.ones((B, 1), bool),
+            positions=positions,
+            kv_cache=s.cache,
+            cache_offset=offset,
+            kv_valid=kv_valid,
+        )
+        rng, k = jax.random.split(s.rng)
+        nxt = _sample(out.logits[:, 0], temperature, k)
+        nxt = jnp.where(s.done, eos_id, nxt)
+        tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, s.step))
+        return _DecodeState(
+            step=s.step + 1,
+            tokens=tokens,
+            last_token=nxt[:, None],
+            done=s.done | (nxt == eos_id),
+            cache=out.kv_cache,
+            kv_valid=kv_valid,
+            rng=rng,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    num = jnp.sum(
+        jnp.cumsum((final.tokens == eos_id).astype(jnp.int32), axis=1) == 0, axis=1
+    )
+    num = jnp.minimum(num + 1, final.step)  # include the EOS token itself
+    return final.tokens, num
+
+
+def make_generate_fn(params, cfg: LlamaConfig, eos_id: int, temperature: float = 0.0):
+    """Bind params/config into a (embeds, mask, max_new) → tokens callable."""
+
+    def fn(inputs_embeds, attn_mask, max_new_tokens, rng=None):
+        return greedy_generate(
+            params,
+            cfg,
+            inputs_embeds,
+            attn_mask,
+            max_new_tokens=max_new_tokens,
+            eos_id=eos_id,
+            temperature=temperature,
+            rng=rng,
+        )
+
+    return fn

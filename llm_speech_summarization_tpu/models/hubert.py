@@ -1,0 +1,269 @@
+"""HuBERT speech encoder (facebook/hubert-base-ls960 / hubert-large-ls960-ft).
+
+The trainable half of the reference's AudioEncoder wraps HF's HuBERT
+(reference: model/audio_encoder.py:6-7,22-24,57). This is a from-scratch XLA
+implementation of the same architecture:
+
+  waveform (B, N) → 7-layer strided conv feature extractor (×320
+  downsample, 20 ms frames) → feature projection → +positional conv
+  embedding → transformer encoder → (B, T, D) frames.
+
+TPU-first choices:
+  * stacked per-layer params + ``lax.scan`` over transformer blocks;
+  * static shapes; variable lengths carried as masks. Unlike the reference —
+    which feeds right-padded batches to HuBERT with **no** attention mask
+    (reference: trainer.py:278, audio_encoder.py:57) — padded frames are
+    masked out of self-attention here, so batched results match
+    one-at-a-time results;
+  * fp32 norm statistics, bf16 matmuls.
+
+Both HF variants are covered: `hubert-base` (group-norm first conv,
+post-layer-norm blocks) and `hubert-large` (per-conv layer norm,
+pre-layer-norm "stable" blocks).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention, make_attention_bias
+from ..ops.norms import layer_norm
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class HubertConfig:
+    conv_dims: Tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernels: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_strides: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = True
+    feat_extract_norm: str = "layer"  # "layer" (large) | "group" (base)
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    layer_norm_eps: float = 1e-5
+    do_stable_layer_norm: bool = True  # pre-LN (large) vs post-LN (base)
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
+
+
+_PRESETS = {
+    "hubert_large": HubertConfig(),
+    "hubert_base": HubertConfig(
+        conv_bias=False,
+        feat_extract_norm="group",
+        hidden_size=768,
+        num_layers=12,
+        num_heads=12,
+        intermediate_size=3072,
+        do_stable_layer_norm=False,
+    ),
+    "tiny": HubertConfig(
+        conv_dims=(32, 32, 32, 32),
+        conv_kernels=(10, 8, 4, 4),
+        conv_strides=(5, 4, 4, 4),  # ×320 total like the real model (20 ms frames)
+        hidden_size=64,
+        num_layers=2,
+        num_heads=4,
+        intermediate_size=128,
+        pos_conv_kernel=16,
+        pos_conv_groups=4,
+    ),
+}
+
+
+def hubert_preset(name: str) -> HubertConfig:
+    aliases = {
+        "facebook/hubert-large-ls960-ft": "hubert_large",
+        "facebook/hubert-base-ls960": "hubert_base",
+    }
+    key = aliases.get(name, name)
+    if key not in _PRESETS:
+        raise KeyError(f"unknown hubert preset '{name}' (have {sorted(_PRESETS)})")
+    return _PRESETS[key]
+
+
+def hubert_frame_count(cfg: HubertConfig, num_samples: jnp.ndarray) -> jnp.ndarray:
+    """Output frame count of the conv feature extractor for given sample counts."""
+    n = num_samples
+    for k, s in zip(cfg.conv_kernels, cfg.conv_strides):
+        n = (n - k) // s + 1
+    return n
+
+
+def init_hubert_params(rng: jax.Array, cfg: HubertConfig, dtype=jnp.bfloat16) -> Params:
+    D, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    n_keys = 4 + len(cfg.conv_dims) + 8
+    keys = jax.random.split(rng, n_keys)
+    ki = iter(range(n_keys))
+
+    def normal(shape, scale=0.02):
+        return (scale * jax.random.normal(keys[next(ki)], shape, jnp.float32)).astype(dtype)
+
+    conv_layers = []
+    in_dim = 1
+    for i, (dim, k) in enumerate(zip(cfg.conv_dims, cfg.conv_kernels)):
+        layer = {"w": normal((dim, in_dim, k))}  # torch OIH layout
+        if cfg.conv_bias:
+            layer["b"] = jnp.zeros((dim,), dtype)
+        if cfg.feat_extract_norm == "layer":
+            layer["ln_scale"] = jnp.ones((dim,), dtype)
+            layer["ln_bias"] = jnp.zeros((dim,), dtype)
+        elif i == 0:  # group norm on the first layer only (base variant)
+            layer["gn_scale"] = jnp.ones((dim,), dtype)
+            layer["gn_bias"] = jnp.zeros((dim,), dtype)
+        conv_layers.append(layer)
+        in_dim = dim
+
+    params: Params = {
+        "conv_layers": conv_layers,
+        "fp_ln_scale": jnp.ones((cfg.conv_dims[-1],), dtype),
+        "fp_ln_bias": jnp.zeros((cfg.conv_dims[-1],), dtype),
+        "fp_w": normal((cfg.conv_dims[-1], D)),
+        "fp_b": jnp.zeros((D,), dtype),
+        # combined weight-norm pos-conv weight, torch layout (D, D/groups, K)
+        "pos_conv_w": normal((D, D // cfg.pos_conv_groups, cfg.pos_conv_kernel)),
+        "pos_conv_b": jnp.zeros((D,), dtype),
+        "layers": {
+            "ln1_scale": jnp.ones((L, D), dtype),
+            "ln1_bias": jnp.zeros((L, D), dtype),
+            "wq": normal((L, D, D)),
+            "bq": jnp.zeros((L, D), dtype),
+            "wk": normal((L, D, D)),
+            "bk": jnp.zeros((L, D), dtype),
+            "wv": normal((L, D, D)),
+            "bv": jnp.zeros((L, D), dtype),
+            "wo": normal((L, D, D)),
+            "bo": jnp.zeros((L, D), dtype),
+            "ln2_scale": jnp.ones((L, D), dtype),
+            "ln2_bias": jnp.zeros((L, D), dtype),
+            "w1": normal((L, D, F)),
+            "b1": jnp.zeros((L, F), dtype),
+            "w2": normal((L, F, D)),
+            "b2": jnp.zeros((L, D), dtype),
+        },
+        "encoder_ln_scale": jnp.ones((D,), dtype),
+        "encoder_ln_bias": jnp.zeros((D,), dtype),
+    }
+    return params
+
+
+def _conv1d(x: jnp.ndarray, w: jnp.ndarray, stride: int, padding: int = 0,
+            groups: int = 1) -> jnp.ndarray:
+    """x: (B, Cin, N), w: (Cout, Cin/groups, K) torch layout → (B, Cout, N')."""
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _feature_extractor(params: Params, cfg: HubertConfig, wav: jnp.ndarray) -> jnp.ndarray:
+    """(B, N) waveform → (B, T, C) conv features."""
+    x = wav[:, None, :]  # (B, 1, N)
+    for i, layer in enumerate(params["conv_layers"]):
+        x = _conv1d(x, layer["w"].astype(x.dtype), cfg.conv_strides[i])
+        if "b" in layer:
+            x = x + layer["b"][None, :, None]
+        if "ln_scale" in layer:
+            # layer norm over channels: transpose to (B, T, C)
+            x = layer_norm(x.transpose(0, 2, 1), layer["ln_scale"], layer["ln_bias"],
+                           cfg.layer_norm_eps).transpose(0, 2, 1)
+        elif "gn_scale" in layer:
+            # group norm with groups == channels: normalize each channel over time
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=2, keepdims=True)
+            var = jnp.var(xf, axis=2, keepdims=True)
+            xf = (xf - mean) * jax.lax.rsqrt(var + cfg.layer_norm_eps)
+            x = xf.astype(x.dtype) * layer["gn_scale"][None, :, None] + layer["gn_bias"][None, :, None]
+        x = jax.nn.gelu(x, approximate=False)
+    return x.transpose(0, 2, 1)  # (B, T, C)
+
+
+def _pos_conv(params: Params, cfg: HubertConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """HF HubertPositionalConvEmbedding: grouped conv k=128 pad=64, crop 1 if even."""
+    h = _conv1d(
+        x.transpose(0, 2, 1),
+        params["pos_conv_w"].astype(x.dtype),
+        stride=1,
+        padding=cfg.pos_conv_kernel // 2,
+        groups=cfg.pos_conv_groups,
+    )
+    h = h + params["pos_conv_b"][None, :, None]
+    if cfg.pos_conv_kernel % 2 == 0:
+        h = h[:, :, :-1]
+    return jax.nn.gelu(h, approximate=False).transpose(0, 2, 1)
+
+
+def hubert_forward(
+    params: Params,
+    cfg: HubertConfig,
+    wav: jnp.ndarray,
+    wav_mask: jnp.ndarray | None = None,
+    remat: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """waveform (B, N) [+ sample-validity mask] → (frames (B, T, D), frame_mask (B, T))."""
+    B, N = wav.shape
+    feats = _feature_extractor(params, cfg, wav)  # (B, T, C)
+    T = feats.shape[1]
+    if wav_mask is None:
+        frame_mask = jnp.ones((B, T), bool)
+    else:
+        n_valid = hubert_frame_count(cfg, jnp.sum(wav_mask.astype(jnp.int32), axis=1))
+        frame_mask = jnp.arange(T, dtype=jnp.int32)[None, :] < n_valid[:, None]
+
+    h = layer_norm(feats, params["fp_ln_scale"], params["fp_ln_bias"], cfg.layer_norm_eps)
+    h = h @ params["fp_w"].astype(h.dtype) + params["fp_b"]
+
+    # Zero features at padded frames (HF `_mask_hidden_states` does the same)
+    # so the positional conv sees zeros there and batched results equal
+    # single-sample results up to conv edge effects.
+    h = h * frame_mask[..., None].astype(h.dtype)
+
+    h = h + _pos_conv(params, cfg, h)
+    if not cfg.do_stable_layer_norm:
+        h = layer_norm(h, params["encoder_ln_scale"], params["encoder_ln_bias"], cfg.layer_norm_eps)
+
+    bias = make_attention_bias(frame_mask, frame_mask, causal=False)
+    Hh = cfg.num_heads
+    Dh = cfg.hidden_size // Hh
+
+    def block(h, lp):
+        def attn_ffn(h):
+            if cfg.do_stable_layer_norm:  # pre-LN
+                a_in = layer_norm(h, lp["ln1_scale"], lp["ln1_bias"], cfg.layer_norm_eps)
+            else:
+                a_in = h
+            q = (a_in @ lp["wq"] + lp["bq"]).reshape(B, T, Hh, Dh)
+            k = (a_in @ lp["wk"] + lp["bk"]).reshape(B, T, Hh, Dh)
+            v = (a_in @ lp["wv"] + lp["bv"]).reshape(B, T, Hh, Dh)
+            a = dot_product_attention(q, k, v, bias).reshape(B, T, cfg.hidden_size)
+            h = h + (a @ lp["wo"] + lp["bo"])
+            if not cfg.do_stable_layer_norm:  # post-LN
+                h = layer_norm(h, lp["ln1_scale"], lp["ln1_bias"], cfg.layer_norm_eps)
+                f_in = h
+            else:
+                f_in = layer_norm(h, lp["ln2_scale"], lp["ln2_bias"], cfg.layer_norm_eps)
+            f = jax.nn.gelu(f_in @ lp["w1"] + lp["b1"], approximate=False)
+            h = h + (f @ lp["w2"] + lp["b2"])
+            if not cfg.do_stable_layer_norm:
+                h = layer_norm(h, lp["ln2_scale"], lp["ln2_bias"], cfg.layer_norm_eps)
+            return h
+
+        fn = jax.checkpoint(attn_ffn) if remat else attn_ffn
+        return fn(h), None
+
+    h, _ = jax.lax.scan(block, h, params["layers"])
+    if cfg.do_stable_layer_norm:
+        h = layer_norm(h, params["encoder_ln_scale"], params["encoder_ln_bias"], cfg.layer_norm_eps)
+    return h, frame_mask

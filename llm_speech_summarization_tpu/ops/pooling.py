@@ -25,15 +25,15 @@ def avg_pool_time(x: jnp.ndarray, kernel_size: int, stride: int) -> jnp.ndarray:
     Matches torch.nn.AvgPool1d with no padding (windows always full, so
     count_include_pad is moot).
     """
-    summed = jax.lax.reduce_window(
-        x,
-        init_value=jnp.zeros((), x.dtype),
-        computation=jax.lax.add,
-        window_dimensions=(1, kernel_size, 1),
-        window_strides=(1, stride, 1),
-        padding="VALID",
-    )
-    return summed / jnp.asarray(kernel_size, x.dtype)
+    B, N, D = x.shape
+    out_len = (N - kernel_size) // stride + 1
+    # cumsum formulation: window sums are two gathers on a prefix sum —
+    # differentiable, fuses well, and avoids reduce_window autodiff limits.
+    cs = jnp.cumsum(x.astype(jnp.float32), axis=1)
+    cs = jnp.pad(cs, ((0, 0), (1, 0), (0, 0)))
+    starts = jnp.arange(out_len, dtype=jnp.int32) * stride
+    summed = cs[:, starts + kernel_size, :] - cs[:, starts, :]
+    return (summed / kernel_size).astype(x.dtype)
 
 
 def stack_downsample(x: jnp.ndarray, factor: int) -> jnp.ndarray:

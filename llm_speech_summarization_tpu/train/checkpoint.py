@@ -1,0 +1,84 @@
+"""Checkpointing via Orbax.
+
+The reference torch.saves a dict {audio_encoder, optimizer, lr_scheduler,
+epoch, step} at every validation (reference: trainer.py:516-528), resumes by
+manually re-homing optimizer tensors to the GPU (reference:
+trainer.py:116-132), and separately releases encoder-only raw state_dicts
+consumed by inference (reference: inference.py:24-27, README.md:41-45).
+
+Here both formats exist with Orbax:
+  * training checkpoints: {enc_params, opt_state, step, epoch} under
+    ``<dir>/step_<n>`` with automatic latest-resume — device placement is
+    handled by Orbax/jax, no manual re-homing;
+  * encoder-only export: ``export_encoder`` / ``load_encoder`` for the
+    inference engine (the reference's two-format split, preserved).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(base: str) -> str:
+    return os.path.abspath(base)
+
+
+def save_train_checkpoint(base_dir: str, step: int, epoch: int, state: Any) -> str:
+    path = os.path.join(_ckpt_dir(base_dir), f"step_{step}")
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "enc_params": state.enc_params,
+        "opt_state": state.opt_state,
+        "step": jax.numpy.asarray(step),
+        "epoch": jax.numpy.asarray(epoch),
+    }
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_checkpoint(base_dir: str) -> Optional[str]:
+    base = _ckpt_dir(base_dir)
+    if not os.path.isdir(base):
+        return None
+    steps = []
+    for name in os.listdir(base):
+        m = re.fullmatch(r"step_(\d+)", name)
+        if m:
+            steps.append(int(m.group(1)))
+    if not steps:
+        return None
+    return os.path.join(base, f"step_{max(steps)}")
+
+
+def restore_train_checkpoint(path: str, template: Any) -> Tuple[Any, int, int]:
+    """Restore (state-like payload, step, epoch); `template` provides the
+    pytree structure/shapes (an abstract or concrete state)."""
+    ckptr = ocp.StandardCheckpointer()
+    target = {
+        "enc_params": template.enc_params,
+        "opt_state": template.opt_state,
+        "step": jax.numpy.zeros((), jax.numpy.int32),
+        "epoch": jax.numpy.zeros((), jax.numpy.int32),
+    }
+    restored = ckptr.restore(path, target)
+    return restored, int(restored["step"]), int(restored["epoch"])
+
+
+def export_encoder(path: str, enc_params: Any) -> str:
+    """Encoder-only export for inference (reference: inference.py:24-27)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), {"enc_params": enc_params}, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_encoder(path: str, template: Any) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), {"enc_params": template})
+    return restored["enc_params"]

@@ -1,0 +1,74 @@
+"""Train state + optimizer.
+
+The reference uses AdamW over encoder AND (pointlessly) frozen-LLM param
+groups with a PolynomialLR power-1.0 (= linear) decay stepped every
+grad-accum interval (reference: trainer.py:98-110). Here:
+
+  * the optimizer covers ONLY the trainable audio-encoder params — the
+    reference's frozen-LLM param group is a documented no-op, dropped;
+  * linear decay is ``optax.linear_schedule`` over the same effective
+    optimizer-step count, with optional warmup / grad clipping;
+  * gradient accumulation is normally absorbed into real batching on the
+    mesh (SURVEY.md §7 step 4), but ``optax.MultiSteps`` covers configs that
+    still request it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import optax
+
+from ..configs import Config
+
+
+class TrainState(NamedTuple):
+    step: Any  # scalar int
+    enc_params: Any  # trainable audio-encoder params
+    opt_state: Any
+
+
+def make_optimizer(cfg: Config, total_opt_steps: int) -> optax.GradientTransformation:
+    opt_cfg = cfg.train.optimizer
+    if opt_cfg.warmup_steps > 0:
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=opt_cfg.lr,
+            warmup_steps=opt_cfg.warmup_steps,
+            decay_steps=max(total_opt_steps, opt_cfg.warmup_steps + 1),
+            end_value=0.0,
+        )
+    else:
+        # reference PolynomialLR(power=1.0): lr(t) = lr0 * (1 - t/total)
+        schedule = optax.linear_schedule(
+            init_value=opt_cfg.lr, end_value=0.0, transition_steps=max(total_opt_steps, 1)
+        )
+    tx_parts = []
+    if opt_cfg.grad_clip_norm is not None:
+        tx_parts.append(optax.clip_by_global_norm(opt_cfg.grad_clip_norm))
+    tx_parts.append(
+        optax.adamw(
+            learning_rate=schedule,
+            b1=opt_cfg.beta1,
+            b2=opt_cfg.beta2,
+            weight_decay=opt_cfg.weight_decay,
+        )
+    )
+    tx = optax.chain(*tx_parts)
+    if cfg.train.grad_accum_interval > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.train.grad_accum_interval)
+    return tx
+
+
+def make_train_state(cfg: Config, enc_params, total_opt_steps: int) -> tuple[TrainState, optax.GradientTransformation]:
+    tx = make_optimizer(cfg, total_opt_steps)
+    opt_state = tx.init(enc_params)
+    return TrainState(step=jax.numpy.zeros((), jax.numpy.int32), enc_params=enc_params, opt_state=opt_state), tx
+
+
+def lr_at(cfg: Config, total_opt_steps: int, step: int) -> float:
+    """Current learning rate (for logging parity, reference: trainer.py:391)."""
+    opt_cfg = cfg.train.optimizer
+    frac = min(step / max(total_opt_steps, 1), 1.0)
+    return float(opt_cfg.lr * (1.0 - frac))

@@ -1,0 +1,205 @@
+"""The jitted knowledge-distillation train step.
+
+One fused, batched, static-shape function replacing the reference's
+per-batch Python orchestration (reference: trainer.py:261-384):
+
+  student:  waveform → audio encoder → [prefix|audio|suffix|response] splice
+            → frozen LLM forward (grads flow through to the encoder)
+  teacher:  [prefix|transcript|suffix|response] splice → same frozen LLM,
+            stop-gradient (reference: trainer.py:337-344 under no_grad)
+
+Both sequences are left-padded to the SAME static length, so the response
+windows (the last r_b positions) land on identical indices — LD/FD
+alignment is a shared mask instead of the reference's `[:, -num_labels:]`
+slicing (reference: trainer.py:347-370). Student and teacher run as one
+stacked (2B, L) LLM forward to keep the MXU fed.
+
+Losses (reference: trainer.py:328-370):
+  ntp — response-window CE (model/audio_llama.py:72-101)
+  ld  — soft cross-entropy on response logits (utils.py:167-178)
+  fd  — MSE on hidden states at configured layers (trainer.py:358-370)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs import Config
+from ..models.audio_encoder import AudioEncoderParams, audio_encoder_forward
+from ..models.llama import LlamaConfig, llama_forward
+from ..ops.losses import (
+    feature_distillation_loss,
+    response_cross_entropy,
+    soft_cross_entropy,
+)
+from ..ops.splice import splice_sequences
+from ..data.batch import Batch
+from .state import TrainState
+
+
+def _forward_losses(
+    enc_params,
+    llm_params,
+    batch: Batch,
+    *,
+    enc_setup: AudioEncoderParams,
+    llm_cfg: LlamaConfig,
+    cfg: Config,
+    prefix_ids: jnp.ndarray,
+    suffix_ids: jnp.ndarray,
+    total_len: int,
+    remat: bool,
+):
+    tcfg = cfg.train
+    compute_dtype = jnp.dtype(cfg.model.compute_dtype)
+    table = llm_params["embed_tokens"].astype(compute_dtype)
+
+    # --- student: audio path (reference: trainer.py:277-322)
+    audio_embeds, emb_lens = audio_encoder_forward(
+        enc_params,
+        enc_setup,
+        batch.wav.astype(compute_dtype),
+        batch.wav_lens,
+        ctc_pool_ranges=batch.ctc_pool_ranges,
+        remat=remat,
+    )
+    student = splice_sequences(
+        table, prefix_ids, suffix_ids, audio_embeds, emb_lens,
+        batch.response_ids, batch.response_lens, total_len=total_len,
+    )
+
+    need_teacher = tcfg.use_ld_loss or tcfg.use_fd_loss
+    fd_layers = tuple(tcfg.fd_loss_connector_layers)
+
+    if need_teacher:
+        # --- teacher: text path (reference: trainer.py:337-344). Token ids
+        # are already BOS-stripped by the data layer (the reference strips
+        # at collate, trainer.py:155-156).
+        text_embeds = table[batch.text_ids]
+        teacher = splice_sequences(
+            table, prefix_ids, suffix_ids, text_embeds, batch.text_lens,
+            batch.response_ids, batch.response_lens, total_len=total_len,
+        )
+        # one stacked forward — (2B, L) keeps matmuls big
+        embeds = jnp.concatenate([student.embeds, teacher.embeds], axis=0)
+        masks = jnp.concatenate([student.attn_mask, teacher.attn_mask], axis=0)
+        out = llama_forward(
+            llm_params, llm_cfg,
+            inputs_embeds=embeds, attn_mask=masks,
+            return_hidden=tcfg.use_fd_loss, remat=remat,
+        )
+        B = batch.wav.shape[0]
+        s_logits, t_logits = out.logits[:B], out.logits[B:]
+        if tcfg.use_fd_loss:
+            s_hidden = out.hidden_states[:, :B]
+            t_hidden = out.hidden_states[:, B:]
+    else:
+        out = llama_forward(
+            llm_params, llm_cfg,
+            inputs_embeds=student.embeds, attn_mask=student.attn_mask,
+            return_hidden=False, remat=remat,
+        )
+        s_logits = out.logits
+
+    losses = {}
+    total = jnp.zeros((), jnp.float32)
+
+    ntp = response_cross_entropy(s_logits, student.labels, student.loss_mask)
+    losses["ntp_loss"] = ntp
+    total = total + tcfg.ntp_loss_weight * ntp
+
+    if tcfg.use_ld_loss:
+        # both sequences are right-aligned to the same L → shared window mask
+        ld = soft_cross_entropy(s_logits, jax.lax.stop_gradient(t_logits), student.response_mask)
+        losses["ld_loss"] = ld
+        total = total + tcfg.ld_loss_weight * ld
+
+    if tcfg.use_fd_loss:
+        fd = feature_distillation_loss(s_hidden, t_hidden, fd_layers, student.response_mask)
+        losses["fd_loss"] = fd
+        total = total + tcfg.fd_loss_weight * fd
+
+    losses["total_loss"] = total
+    return total, losses
+
+
+def make_train_step(
+    cfg: Config,
+    enc_setup: AudioEncoderParams,
+    llm_cfg: LlamaConfig,
+    tx,
+    prefix_ids: jnp.ndarray,
+    suffix_ids: jnp.ndarray,
+    total_len: int,
+    donate: bool = True,
+):
+    """Build the jitted train step: (state, llm_params, batch) → (state, metrics).
+
+    Gradients flow only into the encoder params; the LLM is frozen by
+    construction (the reference kept a no-op LLM param group in AdamW,
+    reference: trainer.py:98-105 — dropped here).
+    """
+
+    def step_fn(state: TrainState, llm_params, batch: Batch):
+        grad_fn = jax.value_and_grad(
+            lambda ep: _forward_losses(
+                ep, llm_params, batch,
+                enc_setup=enc_setup, llm_cfg=llm_cfg, cfg=cfg,
+                prefix_ids=prefix_ids, suffix_ids=suffix_ids,
+                total_len=total_len, remat=cfg.train.remat,
+            ),
+            has_aux=True,
+        )
+        (_, losses), grads = grad_fn(state.enc_params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.enc_params)
+        new_params = optax.apply_updates(state.enc_params, updates)
+        metrics = dict(losses)
+        metrics["grad_norm"] = jax.tree_util.tree_reduce(
+            lambda a, g: a + jnp.sum(jnp.square(g.astype(jnp.float32))), grads, 0.0
+        ) ** 0.5
+        return TrainState(state.step + 1, new_params, new_opt_state), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    cfg: Config,
+    enc_setup: AudioEncoderParams,
+    llm_cfg: LlamaConfig,
+    prefix_ids: jnp.ndarray,
+    suffix_ids: jnp.ndarray,
+    total_len: int,
+):
+    """Validation NLLs for audio- and text-prompted sequences
+    (reference: trainer.py:440-451): returns per-batch mean NLL pair."""
+
+    def eval_fn(enc_params, llm_params, batch: Batch):
+        compute_dtype = jnp.dtype(cfg.model.compute_dtype)
+        table = llm_params["embed_tokens"].astype(compute_dtype)
+        audio_embeds, emb_lens = audio_encoder_forward(
+            enc_params, enc_setup, batch.wav.astype(compute_dtype), batch.wav_lens,
+            ctc_pool_ranges=batch.ctc_pool_ranges,
+        )
+        student = splice_sequences(
+            table, prefix_ids, suffix_ids, audio_embeds, emb_lens,
+            batch.response_ids, batch.response_lens, total_len=total_len,
+        )
+        text_embeds = table[batch.text_ids]
+        teacher = splice_sequences(
+            table, prefix_ids, suffix_ids, text_embeds, batch.text_lens,
+            batch.response_ids, batch.response_lens, total_len=total_len,
+        )
+        embeds = jnp.concatenate([student.embeds, teacher.embeds], axis=0)
+        masks = jnp.concatenate([student.attn_mask, teacher.attn_mask], axis=0)
+        out = llama_forward(llm_params, llm_cfg, inputs_embeds=embeds, attn_mask=masks)
+        B = batch.wav.shape[0]
+        audio_nll = response_cross_entropy(out.logits[:B], student.labels, student.loss_mask)
+        text_nll = response_cross_entropy(out.logits[B:], teacher.labels, teacher.loss_mask)
+        return audio_nll, text_nll
+
+    return jax.jit(eval_fn)

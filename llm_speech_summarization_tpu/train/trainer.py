@@ -1,0 +1,261 @@
+"""Trainer: the training loop.
+
+Role parity with the reference Trainer (reference: trainer.py:23-545) —
+init (seed, dirs, writer, models, data, optimizer, resume), ``train()`` with
+interval logging/validation, ``validate()`` with NLL/perplexity + sample
+generations + checkpointing — re-designed for TPU:
+
+  * one jitted KD step per audio bucket (train/step.py) instead of a
+    per-sample Python loop under autocast+GradScaler (bf16 needs no loss
+    scaling, so the reference's GradScaler machinery has no counterpart);
+  * gradient accumulation is replaced by real batching (optax.MultiSteps
+    honors configs that still ask for it);
+  * all host-side RNG is seeded (the reference seeds only CUDA,
+    reference: trainer.py:32);
+  * checkpoints via Orbax with latest-resume (reference: trainer.py:113-132).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from typing import Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import Config
+from ..data.collate import collate_batch, pick_bucket
+from ..data.datasets import load_training_datasets
+from ..models.audio_encoder import encoder_setup_from_config, init_audio_encoder
+from ..models.llama import init_llama_params, llama_preset
+from ..obs.writer import MetricsWriter
+from ..utils.prompts import prompt_template_for
+from ..utils.tokenizer import load_tokenizer
+from . import checkpoint as ckpt
+from .state import TrainState, lr_at, make_train_state
+from .step import Batch, make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: Config,
+        run_name: str = "run",
+        checkpoint_path: Optional[str] = None,
+        mesh=None,
+    ):
+        self.config = config
+        self.run_name = run_name
+        self.mesh = mesh
+
+        # seed everything (reference seeds only torch.cuda, trainer.py:32)
+        seed = config.seed_everything
+        random.seed(seed)
+        np.random.seed(seed)
+        self.rng = jax.random.PRNGKey(seed)
+
+        self.checkpoint_dir = os.path.join(config.log.checkpoint_dir, run_name)
+        self.log_dir = os.path.join(config.log.log_dir, run_name)
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.writer = MetricsWriter(self.log_dir, jsonl=config.log.jsonl_metrics)
+
+        # tokenizer + template token ids
+        self.tokenizer = load_tokenizer(config.model.llm_type)
+        tpl = prompt_template_for(config.model.llm_type)
+        self.prefix_ids = jnp.asarray(self.tokenizer.encode(tpl.prefix, add_bos=True), jnp.int32)
+        self.suffix_ids = jnp.asarray(self.tokenizer.encode(tpl.suffix, add_bos=False), jnp.int32)
+
+        # models
+        param_dtype = jnp.dtype(config.model.param_dtype)
+        k_enc, k_llm, self.rng = jax.random.split(self.rng, 3)
+        self.llm_cfg = llama_preset(config.model.llm_preset or config.model.llm_type)
+        self.llm_params = init_llama_params(k_llm, self.llm_cfg, dtype=param_dtype)
+        self.enc_setup = encoder_setup_from_config(config)
+        enc_params = init_audio_encoder(k_enc, self.enc_setup, dtype=jnp.float32)
+
+        # data
+        self.train_ds, self.val_ds = load_training_datasets(config, self.tokenizer)
+
+        # optimizer + state
+        tcfg = config.train
+        steps_per_epoch = max(len(self.train_ds) // tcfg.batch_size, 1)
+        total_opt_steps = tcfg.epochs * steps_per_epoch // max(tcfg.grad_accum_interval, 1)
+        self.total_opt_steps = max(total_opt_steps, 1)
+        self.state, self.tx = make_train_state(config, enc_params, self.total_opt_steps)
+        self.steps_per_epoch = steps_per_epoch
+
+        # per-audio-bucket jitted steps
+        self._train_steps = {}
+        self._eval_steps = {}
+
+        self.step = 0
+        self.start_epoch = 0
+        if checkpoint_path:
+            self.load_checkpoint(checkpoint_path)
+        else:
+            latest = ckpt.latest_checkpoint(self.checkpoint_dir)
+            if latest:
+                self.load_checkpoint(latest)
+
+    # ------------------------------------------------------------------
+
+    def load_checkpoint(self, path: str):
+        """Resume enc params + optimizer + step/epoch (reference: trainer.py:116-132)."""
+        restored, step, epoch = ckpt.restore_train_checkpoint(path, self.state)
+        self.state = TrainState(
+            step=jnp.asarray(step, jnp.int32),
+            enc_params=restored["enc_params"],
+            opt_state=restored["opt_state"],
+        )
+        self.step = step
+        self.start_epoch = epoch
+        print(f"Resumed from {path} at step {step}, epoch {epoch}")
+
+    def _seq_budget(self, audio_bucket: int) -> int:
+        """Static spliced-sequence length for an audio bucket via shape eval."""
+        enc_params_shape = jax.eval_shape(lambda: self.state.enc_params)
+        wav = jax.ShapeDtypeStruct((1, audio_bucket), jnp.float32)
+        lens = jax.ShapeDtypeStruct((1,), jnp.int32)
+
+        def fwd(p, w, l):
+            from ..models.audio_encoder import audio_encoder_forward
+
+            return audio_encoder_forward(p, self.enc_setup, w, l)
+
+        out, _ = jax.eval_shape(fwd, enc_params_shape, wav, lens)
+        M = out.shape[1]
+        P, S = self.prefix_ids.shape[0], self.suffix_ids.shape[0]
+        R = self.config.train.buckets.max_response_tokens
+        T = self.config.train.buckets.max_text_tokens
+        # one shared length for student (audio) and teacher (text) sequences
+        need = P + max(M, T) + S + R
+        return ((need + 63) // 64) * 64
+
+    def _get_train_step(self, audio_bucket: int):
+        if audio_bucket not in self._train_steps:
+            total_len = self._seq_budget(audio_bucket)
+            self._train_steps[audio_bucket] = make_train_step(
+                self.config, self.enc_setup, self.llm_cfg, self.tx,
+                self.prefix_ids, self.suffix_ids, total_len,
+            )
+        return self._train_steps[audio_bucket]
+
+    def _get_eval_step(self, audio_bucket: int):
+        if audio_bucket not in self._eval_steps:
+            total_len = self._seq_budget(audio_bucket)
+            self._eval_steps[audio_bucket] = make_eval_step(
+                self.config, self.enc_setup, self.llm_cfg,
+                self.prefix_ids, self.suffix_ids, total_len,
+            )
+        return self._eval_steps[audio_bucket]
+
+    def _batches(self, dataset, batch_size: int, shuffle: bool, seed: int) -> Iterator[Batch]:
+        idx = np.arange(len(dataset))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(idx)
+        bcfg = self.config.train.buckets
+        use_ctc = self.enc_setup.downsample_method == "ctc_pool"
+        max_ranges = (max(bcfg.audio_samples) // 320 // 4 + 8) if use_ctc else None
+        for i in range(0, len(idx) - batch_size + 1, batch_size):
+            examples = [dataset[int(j)] for j in idx[i : i + batch_size]]
+            yield collate_batch(
+                examples,
+                audio_buckets=bcfg.audio_samples,
+                max_text_tokens=bcfg.max_text_tokens,
+                max_response_tokens=bcfg.max_response_tokens,
+                max_pool_ranges=max_ranges,
+            )
+
+    # ------------------------------------------------------------------
+
+    def train(self):
+        cfg = self.config
+        tcfg = cfg.train
+        log_int = cfg.log.log_interval
+        val_int = cfg.log.validation_interval
+        max_steps = tcfg.steps
+
+        for epoch in range(self.start_epoch, self.start_epoch + tcfg.epochs):
+            print(f"Epoch {epoch}")
+            t0 = time.time()
+            for batch in self._batches(self.train_ds, tcfg.batch_size, True, cfg.seed_everything + epoch):
+                step_fn = self._get_train_step(batch.wav.shape[1])
+                self.state, metrics = step_fn(self.state, self.llm_params, batch)
+                self.step += 1
+
+                if self.step % log_int == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    host["step_time_s"] = (time.time() - t0) / log_int
+                    t0 = time.time()
+                    self.writer.log_training(host, self.step)
+                    self.writer.log_lr(
+                        lr_at(cfg, self.total_opt_steps, self.step // max(tcfg.grad_accum_interval, 1)),
+                        self.step,
+                    )
+                if val_int and self.step % val_int == 0:
+                    self.validate(epoch)
+                if max_steps is not None and self.step >= max_steps:
+                    self.validate(epoch)
+                    return
+            self.validate(epoch)
+
+    # ------------------------------------------------------------------
+
+    def validate(self, epoch: int):
+        """Eval NLL/perplexity + sample generations + checkpoint
+        (reference: trainer.py:400-528)."""
+        cfg = self.config
+        audio_nlls: List[float] = []
+        text_nlls: List[float] = []
+        val_bs = min(cfg.train.batch_size, 8)
+        for batch in self._batches(self.val_ds, val_bs, False, 0):
+            eval_fn = self._get_eval_step(batch.wav.shape[1])
+            a_nll, t_nll = eval_fn(self.state.enc_params, self.llm_params, batch)
+            audio_nlls.append(float(a_nll))
+            text_nlls.append(float(t_nll))
+            self.writer.log_validation(float(a_nll), self.step)
+
+        if audio_nlls:
+            audio_ppl = float(np.exp(np.mean(audio_nlls)))
+            text_ppl = float(np.exp(np.mean(text_nlls)))
+            self.writer.log_validation_perplexity(audio_ppl, text_ppl, self.step)
+            print(f"[val] step {self.step}: audio_ppl={audio_ppl:.3f} text_ppl={text_ppl:.3f}")
+
+        # sample generations (reference: trainer.py:454-508)
+        n_gen = cfg.log.num_generate_samples
+        if n_gen > 0 and len(self.val_ds) > 0:
+            from ..infer.engine import LLMSpeechTextInference
+
+            engine = LLMSpeechTextInference(
+                cfg,
+                audio_encoder_params=self.state.enc_params,
+                llm_params=self.llm_params,
+                llm_cfg=self.llm_cfg,
+                tokenizer=self.tokenizer,
+            )
+            prompts, audio_resps, text_resps, audios = [], [], [], []
+            for i in range(min(n_gen, len(self.val_ds))):
+                ex = self.val_ds[i]
+                max_new = min(2 * max(len(ex["text_input_ids"]), 8), 128)
+                audio_resps.append(
+                    engine.generate_audio_response(ex["audio"], max_new_tokens=max_new)
+                )
+                text_resps.append(
+                    engine.generate_text_response(ex["text"], max_new_tokens=max_new)
+                )
+                prompts.append(ex["text"])
+                audios.append(ex["audio"])
+            self.writer.log_audio_text_responses(
+                self.step,
+                prompt_audios=audios,
+                prompt_texts=prompts,
+                audio_responses=audio_resps,
+                text_responses=text_resps,
+                sampling_rate=cfg.audio.sampling_rate,
+            )
+
+        ckpt.save_train_checkpoint(self.checkpoint_dir, self.step, epoch, self.state)

@@ -1,0 +1,89 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_speech_summarization_tpu.configs import load_config
+from llm_speech_summarization_tpu.infer import LLMSpeechTextInference
+from llm_speech_summarization_tpu.infer.generate import greedy_generate
+from llm_speech_summarization_tpu.models import init_llama_params, llama_forward, llama_preset
+
+import os
+
+TINY_YAML = os.path.join(
+    os.path.dirname(__file__), "..", "llm_speech_summarization_tpu", "configs", "yaml",
+    "tiny_test.yaml",
+)
+
+TINY = llama_preset("tiny")
+
+
+def _naive_greedy(params, cfg, embeds, mask, max_new, eos_id):
+    """Eager reference decode: full forward re-run each step."""
+    B = embeds.shape[0]
+    table = params["embed_tokens"]
+    toks = []
+    cur_embeds, cur_mask = embeds, mask
+    done = np.zeros(B, bool)
+    for _ in range(max_new):
+        out = llama_forward(params, cfg, inputs_embeds=cur_embeds, attn_mask=cur_mask)
+        nxt = np.asarray(jnp.argmax(out.logits[:, -1], -1))
+        nxt = np.where(done, eos_id, nxt)
+        toks.append(nxt)
+        done |= nxt == eos_id
+        if done.all():
+            break
+        cur_embeds = jnp.concatenate([cur_embeds, table[jnp.asarray(nxt)][:, None]], axis=1)
+        cur_mask = jnp.concatenate([cur_mask, jnp.ones((B, 1), bool)], axis=1)
+    return np.stack(toks, 1)
+
+
+def test_greedy_generate_matches_naive_decode():
+    params = init_llama_params(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+    B, L = 2, 12
+    rng = jax.random.PRNGKey(1)
+    ids = jax.random.randint(rng, (B, L), 1, TINY.vocab_size)
+    pad = np.array([0, 5])
+    mask = jnp.asarray(np.arange(L)[None, :] >= pad[:, None])
+    embeds = params["embed_tokens"][ids] * mask[..., None]
+
+    max_new = 8
+    eos = 257
+    tokens, lens = greedy_generate(
+        params, TINY, embeds, mask, max_new_tokens=max_new, eos_id=eos, cache_dtype=jnp.float32
+    )
+    naive = _naive_greedy(params, TINY, embeds, mask, max_new, eos)
+    got = np.asarray(tokens)[:, : naive.shape[1]]
+    np.testing.assert_array_equal(got, naive)
+    assert lens.shape == (B,)
+
+
+def test_engine_text_and_audio_end_to_end():
+    cfg = load_config(TINY_YAML)
+    eng = LLMSpeechTextInference(cfg)
+    # text path (reference: inference.py:76-93)
+    resp = eng.generate_text_response("summarize: the cat sat on the mat", max_new_tokens=8)
+    assert isinstance(resp, str)
+    # audio path (reference: inference.py:95-137)
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(12000) * 0.05).astype(np.float32)
+    resp_a = eng.generate_audio_response(audio, max_new_tokens=8)
+    assert isinstance(resp_a, str)
+    # interleaved text+audio (reference: inference.py:113-122)
+    resp_b = eng.generate_audio_response(
+        audio, additional_text_prompt="Summarize the following: ", max_new_tokens=8
+    )
+    assert isinstance(resp_b, str)
+
+
+def test_engine_batch_matches_single():
+    """Batched audio generation must produce the same text as one-at-a-time."""
+    cfg = load_config(TINY_YAML)
+    eng = LLMSpeechTextInference(cfg)
+    rng = np.random.RandomState(1)
+    a1 = (rng.randn(9000) * 0.05).astype(np.float32)
+    a2 = (rng.randn(14000) * 0.05).astype(np.float32)
+    batch = eng.generate_audio_response_batch([a1, a2], max_new_tokens=8)
+    single1 = eng.generate_audio_response(a1, max_new_tokens=8)
+    single2 = eng.generate_audio_response(a2, max_new_tokens=8)
+    assert batch[0] == single1
+    assert batch[1] == single2
