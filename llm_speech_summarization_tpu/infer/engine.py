@@ -91,6 +91,17 @@ class LLMSpeechTextInference:
             self.tokenizer.encode(tpl.suffix, add_bos=False), jnp.int32
         )
 
+        # jit caches: everything between host audio and the decode loop runs
+        # as one compiled program per shape bucket (eager dispatch per-op is
+        # catastrophic on remote-executed backends)
+        self._audio_prompt_fns = {}
+        self._text_embed_fn = jax.jit(
+            lambda llm_params, ids, mask: (
+                llm_params["embed_tokens"][ids].astype(self.dtype)
+                * mask[..., None].astype(self.dtype)
+            )
+        )
+
     # ------------------------------------------------------------------
     # internals
     # ------------------------------------------------------------------
@@ -122,22 +133,37 @@ class LLMSpeechTextInference:
             out.append(self.tokenizer.decode(row[:n].tolist(), skip_special_tokens=True))
         return out
 
-    def _splice_generation_prompt(self, mid_embeds: jnp.ndarray, mid_lens: jnp.ndarray):
-        """[prefix | mid | suffix] left-padded to a bucketed length
-        (reference: utils.py:49-73)."""
-        P, S = self.prefix_ids.shape[0], self.suffix_ids.shape[0]
-        M = mid_embeds.shape[1]
-        total = _round_up(P + M + S, self.bucket)
-        table = self.llm_params["embed_tokens"].astype(self.dtype)
-        sp = splice_sequences(
-            table,
-            self.prefix_ids,
-            self.suffix_ids,
-            mid_embeds.astype(self.dtype),
-            mid_lens,
-            total_len=total,
-        )
-        return sp.embeds, sp.attn_mask
+    def _audio_prompt_fn(self, has_text: bool, total_len: int):
+        """Jitted wav→spliced-prompt builder, cached per (has_text, total_len).
+
+        One compiled program covers: audio encoder forward, optional text
+        embedding + mid-buffer concat (reference: inference.py:113-122), and
+        the [prefix | mid | suffix] splice (reference: utils.py:49-73).
+        """
+        key = (has_text, total_len)
+        if key not in self._audio_prompt_fns:
+            setup = self.encoder_setup
+            prefix_ids, suffix_ids, dtype = self.prefix_ids, self.suffix_ids, self.dtype
+
+            def fn(enc_params, llm_params, wav, wav_lens, ranges, txt_ids, txt_lens):
+                audio_embeds, emb_lens = audio_encoder_forward(
+                    enc_params, setup, wav, wav_lens, ctc_pool_ranges=ranges
+                )
+                table = llm_params["embed_tokens"].astype(dtype)
+                if has_text:
+                    txt_embeds = table[txt_ids]
+                    mid, mid_lens = concat_mid_buffers(
+                        txt_embeds, txt_lens, audio_embeds.astype(dtype), emb_lens
+                    )
+                else:
+                    mid, mid_lens = audio_embeds.astype(dtype), emb_lens
+                sp = splice_sequences(
+                    table, prefix_ids, suffix_ids, mid, mid_lens, total_len=total_len
+                )
+                return sp.embeds, sp.attn_mask
+
+            self._audio_prompt_fns[key] = jax.jit(fn)
+        return self._audio_prompt_fns[key]
 
     # ------------------------------------------------------------------
     # public API (reference parity)
@@ -165,8 +191,7 @@ class LLMSpeechTextInference:
         for b, row in enumerate(ids_list):  # left padding (reference: trainer.py:53)
             ids[b, L - len(row):] = row
             mask[b, L - len(row):] = True
-        embeds = self._embed_tokens(jnp.asarray(ids))
-        embeds = embeds * jnp.asarray(mask)[..., None].astype(embeds.dtype)
+        embeds = self._text_embed_fn(self.llm_params, jnp.asarray(ids), jnp.asarray(mask))
         return self._generate_from_embeds(embeds, jnp.asarray(mask), max_new_tokens)
 
     def generate_audio_response(
@@ -208,24 +233,53 @@ class LLMSpeechTextInference:
                 ranges[b, : r.shape[0]] = r
             ranges = jnp.asarray(ranges)
 
-        audio_embeds, emb_lens = audio_encoder_forward(
+        has_text = len(additional_text_prompt) > 0
+        if has_text:
+            # BOS-strip; placed BEFORE the audio (reference: inference.py:113-122)
+            txt_row = np.asarray(
+                self.tokenizer.encode(additional_text_prompt, add_bos=False), np.int32
+            )
+            txt_ids = jnp.asarray(np.tile(txt_row, (B, 1)))
+            txt_lens = jnp.full((B,), len(txt_row), jnp.int32)
+        else:
+            txt_ids = jnp.zeros((B, 0), jnp.int32)
+            txt_lens = jnp.zeros((B,), jnp.int32)
+
+        # static mid-buffer length via shape eval (cheap, host-side)
+        M = self._audio_embed_buffer_len(N, ranges.shape[1] if ranges is not None else None)
+        P, S = self.prefix_ids.shape[0], self.suffix_ids.shape[0]
+        total_len = _round_up(P + M + txt_ids.shape[1] + S, self.bucket)
+
+        prompt_fn = self._audio_prompt_fn(has_text, total_len)
+        embeds, mask = prompt_fn(
             self.audio_encoder_params,
-            self.encoder_setup,
+            self.llm_params,
             jnp.asarray(wav, self.dtype),
             jnp.asarray(lens),
-            ctc_pool_ranges=ranges,
+            ranges,
+            txt_ids,
+            txt_lens,
         )
-
-        if len(additional_text_prompt) > 0:
-            # BOS-strip, embed, and place BEFORE the audio
-            # (reference: inference.py:113-122)
-            txt_ids = self.tokenizer.encode(additional_text_prompt, add_bos=False)
-            txt = jnp.asarray(np.tile(np.asarray(txt_ids, np.int32), (B, 1)))
-            txt_embeds = self._embed_tokens(txt)
-            txt_lens = jnp.full((B,), len(txt_ids), jnp.int32)
-            mid, mid_lens = concat_mid_buffers(txt_embeds, txt_lens, audio_embeds, emb_lens)
-        else:
-            mid, mid_lens = audio_embeds, emb_lens
-
-        embeds, mask = self._splice_generation_prompt(mid, mid_lens)
         return self._generate_from_embeds(embeds, mask, max_new_tokens)
+
+    def _audio_embed_buffer_len(self, num_samples: int, num_ranges=None) -> int:
+        key = (num_samples, num_ranges)
+        if not hasattr(self, "_mbuf_cache"):
+            self._mbuf_cache = {}
+        if key not in self._mbuf_cache:
+            ranges_shape = (
+                None
+                if num_ranges is None
+                else jax.ShapeDtypeStruct((1, num_ranges, 2), jnp.int32)
+            )
+            out, _ = jax.eval_shape(
+                lambda p, w, l, r: audio_encoder_forward(
+                    p, self.encoder_setup, w, l, ctc_pool_ranges=r
+                ),
+                self.audio_encoder_params,
+                jax.ShapeDtypeStruct((1, num_samples), self.dtype),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+                ranges_shape,
+            )
+            self._mbuf_cache[key] = out.shape[1]
+        return self._mbuf_cache[key]

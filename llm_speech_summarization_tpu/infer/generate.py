@@ -7,9 +7,13 @@ forwards. Here the whole thing is ONE jitted function per
 (prefill_len, max_new_tokens) bucket:
 
   * prefill: one batched forward over the left-padded embedding sequence,
-    writing the KV cache and yielding the first sampled token;
-  * decode: ``lax.while_loop`` over single-token forwards with an early exit
-    when every row has emitted EOS;
+    writing the KV cache and yielding the first sampled token (logits are
+    computed for the final position only);
+  * decode: ``lax.while_loop`` over single-token forwards with an early
+    exit when every row has emitted EOS. Cache-slot validity is arithmetic
+    ([pad_len, offset) per sample) — no mask arrays are carried — and on
+    TPU the cache is read in place by the Pallas decode kernel
+    (kernels/decode_attention.py);
   * greedy by default (the reference's choice, inference.py:58-64), with
     temperature sampling available behind the same switch HF exposes.
 
@@ -35,7 +39,6 @@ class _DecodeState(NamedTuple):
     last_token: jnp.ndarray  # (B, 1)
     done: jnp.ndarray  # (B,)
     cache: KVCache
-    kv_valid: jnp.ndarray  # (B, S)
     rng: jax.Array
 
 
@@ -79,13 +82,12 @@ def greedy_generate(
         attn_mask=attn_mask,
         kv_cache=cache,
         cache_offset=jnp.int32(0),
+        last_logit_only=True,
     )
     rng, k0 = jax.random.split(rng)
     first = _sample(out.logits[:, -1], temperature, k0)  # (B,)
     lens = jnp.sum(attn_mask.astype(jnp.int32), axis=1)  # (B,) real prefill lengths
-
-    slots = jnp.arange(S, dtype=jnp.int32)[None, :]
-    kv_valid0 = jnp.pad(attn_mask, ((0, 0), (0, S - L)), constant_values=False)
+    pad_lens = (L - lens).astype(jnp.int32)  # valid cache slots start here
 
     tokens0 = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(first)
@@ -95,7 +97,6 @@ def greedy_generate(
         last_token=first[:, None],
         done=first == eos_id,
         cache=out.kv_cache,
-        kv_valid=kv_valid0,
         rng=rng,
     )
 
@@ -103,9 +104,10 @@ def greedy_generate(
         return (s.step < max_new_tokens) & ~jnp.all(s.done)
 
     def body(s: _DecodeState):
-        offset = L + s.step - 1  # cache slot for the token being fed
-        kv_valid = s.kv_valid | (slots == offset)
+        offset = L + s.step - 1  # cache slot the fed token will be written to
         positions = (lens + s.step - 1)[:, None]
+        # valid cache slots per sample: [pad_len, offset); the fed token
+        # rides along as a fresh key inside the forward
         out = llama_forward(
             params,
             cfg,
@@ -114,7 +116,7 @@ def greedy_generate(
             positions=positions,
             kv_cache=s.cache,
             cache_offset=offset,
-            kv_valid=kv_valid,
+            kv_pad_lens=pad_lens,
         )
         rng, k = jax.random.split(s.rng)
         nxt = _sample(out.logits[:, 0], temperature, k)
@@ -126,7 +128,6 @@ def greedy_generate(
             last_token=nxt[:, None],
             done=s.done | (nxt == eos_id),
             cache=out.kv_cache,
-            kv_valid=kv_valid,
             rng=rng,
         )
 

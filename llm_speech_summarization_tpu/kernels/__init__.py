@@ -1,0 +1,4 @@
+from .decode_attention import decode_attention
+from .flash_attention import flash_attention
+
+__all__ = ["decode_attention", "flash_attention"]

@@ -1,0 +1,165 @@
+"""Pallas TPU flash-attention (tiled online softmax, GQA, masked windows).
+
+The hot kernel of the KD train step (student+teacher stacked LLM forward,
+train/step.py), generation prefill (infer/generate.py), and the speech
+encoders' self-attention. The reference gets attention from torch SDPA
+inside HF models (reference: model/audio_llama.py via transformers); here
+it is a tiled online-softmax kernel that never materializes the (T, S)
+logits in HBM:
+
+  * grid (batch, q-heads, q-blocks); the k/v head is derived from the q
+    head (GQA: Hq % Hkv == 0);
+  * inner fori_loop over k-blocks up to the causal frontier, with running
+    (max, sum) online-softmax state, f32 accumulation;
+  * variable lengths enter as per-sample valid windows [start, end):
+    left-padded LLM batches pass (pad_len, T), right-padded encoder
+    batches pass (0, n_valid). Queries outside the window emit garbage
+    rows that callers mask downstream (same contract as ops/attention.py).
+
+Falls back to the XLA reference implementation (ops/attention.py) on
+non-TPU backends and un-tileable shapes; parity is tested in interpret
+mode (tests/test_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    scal_ref,  # scalar-prefetch (2B,) int32: [start_0..start_{B-1}, end_0..]
+    q_ref,  # (1, BQ, Dh)
+    k_ref,  # (1, S, Dh) full key stream for this (b, kv-head)
+    v_ref,  # (1, S, Dh)
+    o_ref,  # (1, BQ, Dh)
+    *,
+    block_q: int,
+    block_k: int,
+    seq_len: int,
+    scale: float,
+    causal: bool,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    B = pl.num_programs(0)
+    start = scal_ref[b]
+    end = scal_ref[B + b]
+
+    q = q_ref[0]  # (BQ, Dh), native dtype — MXU runs bf16 with f32 accum
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
+
+    # causal frontier: last k block any query in this q block can see
+    if causal:
+        num_k_blocks = jax.lax.div(qi * block_q + block_q - 1, block_k) + 1
+    else:
+        num_k_blocks = pl.cdiv(seq_len, block_k)
+
+    def body(ki, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (BQ, BK)
+
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        mask = (k_pos >= start) & (k_pos < end)
+        if causal:
+            mask = mask & (k_pos <= q_pos)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = alpha * acc + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    starts: jnp.ndarray,
+    ends: jnp.ndarray,
+    causal: bool = True,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q: (B, T, Hq, Dh); k, v: (B, T, Hkv, Dh); starts/ends: (B,) int32.
+
+    Returns (B, T, Hq, Dh). Valid positions per sample are [start, end);
+    causal means query i attends keys j <= i.
+    """
+    B, T, Hq, Dh = q.shape
+    Hkv = k.shape[2]
+    assert Hq % Hkv == 0
+    group = Hq // Hkv
+    scale = Dh ** -0.5
+
+    if T % block_q != 0 or T % block_k != 0 or Dh % 128 != 0:
+        # un-tileable shape → XLA reference path
+        from ..ops.attention import dot_product_attention, make_attention_bias
+
+        pos = jnp.arange(T, dtype=jnp.int32)[None, :]
+        valid = (pos >= starts[:, None]) & (pos < ends[:, None])
+        bias = make_attention_bias(valid, valid, causal=causal)
+        return dot_product_attention(q, k, v, bias)
+
+    qt = q.transpose(0, 2, 1, 3)  # (B, Hq, T, Dh)
+    kt = k.transpose(0, 2, 1, 3)  # (B, Hkv, T, Dh)
+    vt = v.transpose(0, 2, 1, 3)
+
+    grid = (B, Hq, T // block_q)
+    kernel = functools.partial(
+        _flash_kernel,
+        block_q=block_q,
+        block_k=block_k,
+        seq_len=T,
+        scale=scale,
+        causal=causal,
+    )
+
+    scalars = jnp.concatenate([starts.astype(jnp.int32), ends.astype(jnp.int32)])
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, Dh), lambda b, h, i, scal: (b * Hq + h, i, 0)),
+                pl.BlockSpec((1, T, Dh), lambda b, h, i, scal: (b * Hkv + h // group, 0, 0)),
+                pl.BlockSpec((1, T, Dh), lambda b, h, i, scal: (b * Hkv + h // group, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, Dh), lambda b, h, i, scal: (b * Hq + h, i, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * Hq, T, Dh), q.dtype),
+        interpret=interpret,
+    )(
+        scalars,
+        qt.reshape(B * Hq, T, Dh),
+        kt.reshape(B * Hkv, T, Dh),
+        vt.reshape(B * Hkv, T, Dh),
+    )
+    return out.reshape(B, Hq, T, Dh).transpose(0, 2, 1, 3)

@@ -105,16 +105,20 @@ def llama_preset(name: str) -> LlamaConfig:
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # (L, B, S, Hkv, Dh)
-    v: jnp.ndarray  # (L, B, S, Hkv, Dh)
+    """KV cache, laid out (L, B, Hkv, S, Dh): the sequence axis is
+    contiguous per head so the decode kernel streams it at full HBM
+    bandwidth with no transposes."""
+
+    k: jnp.ndarray  # (L, B, Hkv, S, Dh)
+    v: jnp.ndarray  # (L, B, Hkv, S, Dh)
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -159,12 +163,26 @@ def _block(
     lp: Params,
     x: jnp.ndarray,
     positions: jnp.ndarray,
-    bias: jnp.ndarray,
+    attn_args: Tuple[jnp.ndarray, ...],
     inv_freq: jnp.ndarray,
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
-    cache_offset: Optional[jnp.ndarray],
+    *,
+    attn_kind: str,
 ):
-    """One transformer block. Returns (out, (new_k_cache, new_v_cache))."""
+    """One transformer block. Returns (out, (k_new, v_new)).
+
+    ``cache_kv`` (per-layer, read-only, (B, Hkv, S, Dh)) holds past
+    keys/values; fresh k/v are RETURNED, not written here — the caller does
+    one O(T) in-place cache write outside the layer scan. Writing inside
+    the scan would round-trip the whole O(S) cache through scan ys, a full
+    copy per decode step.
+
+    ``attn_kind`` (static) + ``attn_args`` (arrays) select the attention path:
+      "bias", (bias,)                    XLA masked attention (no cache read)
+      "flash", (starts, ends)            Pallas flash kernel (no cache read)
+      "decode_xla", (bias,)              XLA over [cache | fresh] concat
+      "decode_pallas", (pads, offset)    Pallas in-place cache-read kernel
+    """
     B, T, D = x.shape
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -175,24 +193,37 @@ def _block(
     q = apply_rope(q, positions, inv_freq)
     k = apply_rope(k, positions, inv_freq)
 
-    if cache_kv is not None:
-        k_cache, v_cache = cache_kv
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, cache_offset, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, cache_offset, 0, 0))
-        k_att, v_att = k_cache, v_cache
-        new_cache = (k_cache, v_cache)
-    else:
-        k_att, v_att = k, v
-        new_cache = None
+    if attn_kind == "bias":
+        attn = dot_product_attention(q, k, v, attn_args[0])
+    elif attn_kind == "flash":
+        from ..kernels.flash_attention import flash_attention
 
-    attn = dot_product_attention(q, k_att.astype(q.dtype), v_att.astype(q.dtype), bias)
+        attn = flash_attention(q, k, v, attn_args[0], attn_args[1], causal=True)
+    elif attn_kind == "decode_xla":
+        k_cache, v_cache = cache_kv  # (B, Hkv, S, Dh)
+        k_att = jnp.concatenate(
+            [k_cache.transpose(0, 2, 1, 3).astype(q.dtype), k], axis=1
+        )  # (B, S+T, Hkv, Dh)
+        v_att = jnp.concatenate([v_cache.transpose(0, 2, 1, 3).astype(q.dtype), v], axis=1)
+        attn = dot_product_attention(q, k_att, v_att, attn_args[0])
+    elif attn_kind == "decode_pallas":
+        from ..kernels.decode_attention import decode_attention
+
+        k_cache, v_cache = cache_kv
+        attn = decode_attention(
+            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), k, v,
+            attn_args[0], attn_args[1],
+        )
+    else:
+        raise ValueError(f"unknown attn kind {attn_kind}")
+
     x = x + attn.reshape(B, T, Hq * Dh) @ lp["wo"]
 
     h = rms_norm(x, lp["post_attn_norm"], cfg.rms_eps)
     gate = jax.nn.silu(h @ lp["w_gate"])
     up = h @ lp["w_up"]
     x = x + (gate * up) @ lp["w_down"]
-    return x, new_cache
+    return x, (k, v)
 
 
 def llama_forward(
@@ -206,20 +237,27 @@ def llama_forward(
     kv_cache: Optional[KVCache] = None,
     cache_offset: Optional[jnp.ndarray] = None,
     kv_valid: Optional[jnp.ndarray] = None,
+    kv_pad_lens: Optional[jnp.ndarray] = None,
     return_hidden: bool = False,
     compute_logits: bool = True,
+    last_logit_only: bool = False,
     remat: bool = False,
+    attn_impl: str = "auto",
 ) -> LlamaOutput:
     """Run the decoder.
 
     Modes:
       * training / teacher: no kv_cache; full causal attention over the
         left-padded (B, T) batch; `attn_mask` marks real positions.
-      * prefill: kv_cache + cache_offset=0; keys/values written to the cache;
-        attention over cache slots [0, T) with padded keys masked.
-      * decode: kv_cache + cache_offset=t; T==1 queries attend to cache
-        slots [0, t] (kv_valid must mark real slots, i.e. non-pad prefill
-        slots and already-generated slots).
+      * prefill: kv_cache + cache_offset=0 + neither kv_valid nor
+        kv_pad_lens; keys/values written to cache slots [0, T).
+      * decode: kv_cache + cache_offset=t, T==1. Valid cache slots are
+        given either as ``kv_pad_lens`` (B,) — valid ≡ [pad, offset), the
+        fast arithmetic form the Pallas kernel uses — or as an explicit
+        ``kv_valid`` (B, S) mask (XLA path only).
+
+    ``attn_impl``: "auto" (Pallas on TPU when shapes allow, else XLA),
+    "xla", or "pallas".
 
     `inputs_embeds` bypasses the embedding table exactly like the reference's
     embedding-injection path (reference: trainer.py:317-322,
@@ -239,46 +277,84 @@ def llama_forward(
 
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
 
-    if kv_cache is None:
-        bias = make_attention_bias(attn_mask, attn_mask, causal=True)
-        cache_k = cache_v = None
+    if attn_impl == "auto":
+        use_pallas = jax.default_backend() == "tpu" and cfg.head_dim % 128 == 0
+    else:
+        use_pallas = attn_impl == "pallas"
+
+    is_prefill = kv_cache is not None and kv_valid is None and kv_pad_lens is None
+    is_decode = kv_cache is not None and not is_prefill
+
+    if not is_decode:
+        # training / teacher / prefill: causal over the fresh T keys only
+        if use_pallas and T % 128 == 0:
+            # left-padded window [pad_len, T)
+            pad_lens = (T - jnp.sum(attn_mask.astype(jnp.int32), axis=1)).astype(jnp.int32)
+            attn_kind, attn_args = "flash", (pad_lens, jnp.full((B,), T, jnp.int32))
+        else:
+            attn_kind, attn_args = "bias", (make_attention_bias(attn_mask, attn_mask, causal=True),)
     else:
         assert cache_offset is not None
         S = kv_cache.max_len
-        if kv_valid is None:
-            # prefill from slot 0: valid = written-and-real
-            t_idx = jnp.arange(S, dtype=jnp.int32)[None, :]
-            kv_valid = (t_idx < cache_offset + T) & jnp.pad(
-                attn_mask, ((0, 0), (0, S - T)), constant_values=True
+        # decode: XLA's fused attention currently beats the Pallas decode
+        # kernel (it hides the [cache|fresh] concat well); opt in to the
+        # Pallas path explicitly with attn_impl="pallas".
+        if attn_impl == "pallas" and kv_pad_lens is not None and T == 1:
+            attn_kind = "decode_pallas"
+            attn_args = (kv_pad_lens.astype(jnp.int32), jnp.asarray(cache_offset, jnp.int32))
+        else:
+            if kv_valid is None:
+                assert kv_pad_lens is not None
+                slot = jnp.arange(S, dtype=jnp.int32)[None, :]
+                kv_valid = (slot >= kv_pad_lens[:, None]) & (slot < cache_offset)
+            kv_valid_full = jnp.concatenate([kv_valid, attn_mask], axis=1)  # (B, S+T)
+            kv_idx = jnp.concatenate(
+                [jnp.arange(S, dtype=jnp.int32), cache_offset + jnp.arange(T, dtype=jnp.int32)]
             )
-        q_offset = jnp.full((B,), cache_offset, jnp.int32)
-        bias = make_attention_bias(attn_mask, kv_valid, causal=True, q_offset=q_offset)
-        cache_k, cache_v = kv_cache.k, kv_cache.v
+            q_offset = jnp.full((B,), cache_offset, jnp.int32)
+            attn_kind = "decode_xla"
+            attn_args = (
+                make_attention_bias(
+                    attn_mask, kv_valid_full, causal=True, q_offset=q_offset, kv_idx=kv_idx
+                ),
+            )
 
-    block = _block
+    import functools as _ft
+
+    block = _ft.partial(_block, attn_kind=attn_kind)
     if remat:
-        block = jax.checkpoint(_block, static_argnums=(0,))
+        block = jax.checkpoint(block, static_argnums=(0,))
 
     def scan_body(carry, layer_in):
         h = carry
+        if is_decode:
+            lp, cache_kv = layer_in
+        else:
+            lp, cache_kv = layer_in, None
+        out, kv_new = block(cfg, lp, h, positions, attn_args, inv_freq, cache_kv)
+        hs = out if return_hidden else jnp.zeros((0,), h.dtype)
         if kv_cache is None:
-            lp = layer_in
-            out, _ = block(cfg, lp, h, positions, bias, inv_freq, None, None)
-            return out, (out if return_hidden else jnp.zeros((0,), h.dtype))
-        lp, (kc, vc) = layer_in
-        out, new_cache = block(cfg, lp, h, positions, bias, inv_freq, (kc, vc), cache_offset)
-        ys = (out if return_hidden else jnp.zeros((0,), h.dtype), new_cache)
-        return out, ys
+            return out, hs
+        return out, (hs, kv_new)
 
     if kv_cache is None:
-        x, ys = jax.lax.scan(scan_body, x, params["layers"])
-        hidden_stack = ys if return_hidden else None
+        x, hidden_stack = jax.lax.scan(scan_body, x, params["layers"])
         new_kv = None
     else:
-        x, ys = jax.lax.scan(scan_body, x, (params["layers"], (kv_cache.k, kv_cache.v)))
-        hs, (nk, nv) = ys
-        hidden_stack = hs if return_hidden else None
-        new_kv = KVCache(nk, nv)
+        xs = (params["layers"], (kv_cache.k, kv_cache.v)) if is_decode else params["layers"]
+        x, ys = jax.lax.scan(scan_body, x, xs)
+        hidden_stack, (k_new, v_new) = ys  # k_new/v_new: (L, B, T, Hkv, Dh)
+        # cache layout (L, B, Hkv, S, Dh): one O(L·B·T) in-place write
+        # instead of O(L·B·S) per-layer copies
+        k_new = k_new.transpose(0, 1, 3, 2, 4)  # (L, B, Hkv, T, Dh)
+        v_new = v_new.transpose(0, 1, 3, 2, 4)
+        new_k = jax.lax.dynamic_update_slice(
+            kv_cache.k, k_new.astype(kv_cache.k.dtype), (0, 0, 0, cache_offset, 0)
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            kv_cache.v, v_new.astype(kv_cache.v.dtype), (0, 0, 0, cache_offset, 0)
+        )
+        new_kv = KVCache(new_k, new_v)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
 
@@ -290,6 +366,11 @@ def llama_forward(
 
     logits = None
     if compute_logits:
+        if last_logit_only:
+            # generation prefill: only the final position feeds sampling —
+            # skipping the (B, T, V) projection saves T× the lm_head compute
+            # and the dominant slab of prefill HBM (HF's num_logits_to_keep)
+            x = x[:, -1:, :]
         head = params["embed_tokens"].T if cfg.tie_embeddings else params["lm_head"]
         logits = jnp.einsum(
             "btd,dv->btv", x, head.astype(x.dtype), preferred_element_type=jnp.float32

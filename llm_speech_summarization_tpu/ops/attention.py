@@ -27,6 +27,7 @@ def make_attention_bias(
     kv_valid: jnp.ndarray,
     causal: bool = True,
     q_offset: Optional[jnp.ndarray] = None,
+    kv_idx: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Build an additive attention bias from validity masks.
 
@@ -36,7 +37,9 @@ def make_attention_bias(
         of the S-long key axis (standard decode/prefill layout). For prefill
         T == S and this is the usual lower-triangular mask. ``q_offset``
         (B,) overrides the per-sample alignment: query i attends to keys
-        j <= q_offset + i.
+        j <= q_offset + i. ``kv_idx`` (S,) assigns explicit sequence
+        positions to key slots (for [cache | fresh-keys] concatenated
+        layouts where slots are not contiguous positions).
 
     Left-padded sequences (reference: utils.py:76-82 builds right-aligned
     masks) work out of the box: padding keys are masked everywhere and
@@ -51,7 +54,7 @@ def make_attention_bias(
             q_idx = q_pos[None, :] + (S - T)  # queries are the last T keys
         else:
             q_idx = q_offset[:, None] + q_pos[None, :]
-        k_idx = jnp.arange(S, dtype=jnp.int32)
+        k_idx = jnp.arange(S, dtype=jnp.int32) if kv_idx is None else kv_idx
         causal_ok = k_idx[None, None, :] <= q_idx[:, :, None]  # (B, T, S)
         bias = bias + jnp.where(causal_ok[:, None, :, :], 0.0, NEG_INF)
     return bias

@@ -1,0 +1,88 @@
+"""Pallas kernel parity vs the XLA reference ops (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_speech_summarization_tpu.kernels.decode_attention import decode_attention
+from llm_speech_summarization_tpu.kernels.flash_attention import flash_attention
+from llm_speech_summarization_tpu.ops.attention import (
+    dot_product_attention,
+    make_attention_bias,
+)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_attention_matches_xla(causal):
+    B, T, Hq, Hkv, Dh = 2, 256, 4, 2, 128
+    rng = np.random.RandomState(0)
+    q = rng.randn(B, T, Hq, Dh).astype(np.float32)
+    k = rng.randn(B, T, Hkv, Dh).astype(np.float32)
+    v = rng.randn(B, T, Hkv, Dh).astype(np.float32)
+    starts = np.array([0, 37], np.int32)  # left padding on sample 1
+    ends = np.array([T, T], np.int32)
+
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(starts), jnp.asarray(ends), causal=causal, interpret=True,
+    )
+    pos = np.arange(T)[None, :]
+    valid = (pos >= starts[:, None]) & (pos < ends[:, None])
+    bias = make_attention_bias(jnp.asarray(valid), jnp.asarray(valid), causal=causal)
+    ref = dot_product_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), bias)
+    diff = np.abs(np.asarray(out) - np.asarray(ref)) * valid[:, :, None, None]
+    assert diff.max() < 5e-5
+
+
+def test_flash_attention_rightpad_window():
+    """Right-padded window (encoder style): valid = [0, n)."""
+    B, T, Hq, Hkv, Dh = 2, 128, 4, 4, 128
+    rng = np.random.RandomState(1)
+    q = rng.randn(B, T, Hq, Dh).astype(np.float32)
+    k = rng.randn(B, T, Hkv, Dh).astype(np.float32)
+    v = rng.randn(B, T, Hkv, Dh).astype(np.float32)
+    starts = np.zeros(2, np.int32)
+    ends = np.array([128, 50], np.int32)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(starts), jnp.asarray(ends), causal=False, interpret=True,
+    )
+    pos = np.arange(T)[None, :]
+    valid = pos < ends[:, None]
+    bias = make_attention_bias(jnp.asarray(valid), jnp.asarray(valid), causal=False)
+    ref = dot_product_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), bias)
+    diff = np.abs(np.asarray(out) - np.asarray(ref)) * valid[:, :, None, None]
+    assert diff.max() < 5e-5
+
+
+def test_decode_attention_matches_xla():
+    B, Hq, Hkv, Dh, S = 2, 4, 2, 128, 256
+    offset = 100
+    rng = np.random.RandomState(2)
+    q = rng.randn(B, 1, Hq, Dh).astype(np.float32)
+    k_cache = rng.randn(B, Hkv, S, Dh).astype(np.float32)
+    v_cache = rng.randn(B, Hkv, S, Dh).astype(np.float32)
+    k_new = rng.randn(B, 1, Hkv, Dh).astype(np.float32)
+    v_new = rng.randn(B, 1, Hkv, Dh).astype(np.float32)
+    pads = np.array([0, 13], np.int32)
+
+    out = decode_attention(
+        jnp.asarray(q), jnp.asarray(k_cache), jnp.asarray(v_cache),
+        jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(pads), jnp.int32(offset), interpret=True,
+    )
+
+    # XLA reference: concat [cache | fresh], mask [pad, offset) + fresh
+    slot = np.arange(S)[None, :]
+    kv_valid = (slot >= pads[:, None]) & (slot < offset)
+    kv_valid_full = np.concatenate([kv_valid, np.ones((B, 1), bool)], 1)
+    kv_idx = np.concatenate([np.arange(S), [offset]]).astype(np.int32)
+    bias = make_attention_bias(
+        jnp.ones((B, 1), bool), jnp.asarray(kv_valid_full), causal=True,
+        q_offset=jnp.full((B,), offset, jnp.int32), kv_idx=jnp.asarray(kv_idx),
+    )
+    k_att = np.concatenate([k_cache.transpose(0, 2, 1, 3), k_new], axis=1)
+    v_att = np.concatenate([v_cache.transpose(0, 2, 1, 3), v_new], axis=1)
+    ref = dot_product_attention(jnp.asarray(q), jnp.asarray(k_att), jnp.asarray(v_att), bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)

@@ -82,7 +82,9 @@ def test_llama_prefill_decode_matches_full(tiny_llama):
     for step in range(n_new):
         tok = full_ids[:, T_pre + step][:, None]
         positions = (lens + step)[:, None]
-        kv_valid = (slots[None, :] < T_pre + step + 1) & jnp.concatenate(
+        # cache-slot validity excludes the token being fed (it rides along
+        # as a fresh key inside the forward)
+        kv_valid = (slots[None, :] < T_pre + step) & jnp.concatenate(
             [pre_mask, jnp.ones((B, S - T_pre), bool)], axis=1
         )
         out_dec = llama_forward(
