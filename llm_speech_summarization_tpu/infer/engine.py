@@ -52,11 +52,13 @@ class LLMSpeechTextInference:
         tokenizer: Optional[Tokenizer] = None,
         rng: Optional[jax.Array] = None,
         temperature: float = 0.0,
-        bucket: int = 64,
+        bucket: int = 128,
+        decode_bucket: int = 64,
     ):
         self.config = config
         self.temperature = temperature
-        self.bucket = bucket
+        self.bucket = bucket  # prefill-length bucket (128 = flash-kernel tile)
+        self.decode_bucket = decode_bucket  # max_new_tokens bucket
         self.dtype = jnp.dtype(config.model.compute_dtype)
         rng = rng if rng is not None else jax.random.PRNGKey(config.seed_everything)
         k_enc, k_llm = jax.random.split(rng)
@@ -119,7 +121,7 @@ class LLMSpeechTextInference:
             self.llm_cfg,
             embeds.astype(self.dtype),
             attn_mask,
-            max_new_tokens=_round_up(max_new_tokens, self.bucket),
+            max_new_tokens=_round_up(max_new_tokens, self.decode_bucket),
             eos_id=self.tokenizer.eos_id,
             temperature=self.temperature,
             rng=rng,

@@ -90,9 +90,16 @@ def _flash_kernel(
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
-)
+def _xla_reference(q, k, v, starts, ends, causal):
+    from ..ops.attention import dot_product_attention, make_attention_bias
+
+    T = q.shape[1]
+    pos = jnp.arange(T, dtype=jnp.int32)[None, :]
+    valid = (pos >= starts[:, None]) & (pos < ends[:, None])
+    bias = make_attention_bias(valid, valid, causal=causal)
+    return dot_product_attention(q, k, v, bias)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -107,22 +114,59 @@ def flash_attention(
     """q: (B, T, Hq, Dh); k, v: (B, T, Hkv, Dh); starts/ends: (B,) int32.
 
     Returns (B, T, Hq, Dh). Valid positions per sample are [start, end);
-    causal means query i attends keys j <= i.
+    causal means query i attends keys j <= i. Differentiable: the forward
+    is the Pallas kernel; the backward recomputes attention through the XLA
+    reference path (a dedicated backward kernel is a further optimization).
     """
+    B, T, Hq, Dh = q.shape
+    if T % block_q != 0 or T % block_k != 0 or Dh % 128 != 0:
+        # un-tileable shape → XLA reference path
+        return _xla_reference(q, k, v, starts, ends, causal)
+    return _flash_diff(q, k, v, starts, ends, causal, block_q, block_k, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_diff(q, k, v, starts, ends, causal, block_q, block_k, interpret):
+    return _flash_impl(q, k, v, starts, ends, causal, block_q, block_k, interpret)
+
+
+def _flash_diff_fwd(q, k, v, starts, ends, causal, block_q, block_k, interpret):
+    out = _flash_impl(q, k, v, starts, ends, causal, block_q, block_k, interpret)
+    return out, (q, k, v, starts, ends)
+
+
+def _flash_diff_bwd(causal, block_q, block_k, interpret, res, g):
+    import numpy as np
+
+    q, k, v, starts, ends = res
+    _, vjp = jax.vjp(lambda q, k, v: _xla_reference(q, k, v, starts, ends, causal), q, k, v)
+    dq, dk, dv = vjp(g)
+    zero_i = np.zeros(starts.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, zero_i, zero_i
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
+)
+def _flash_impl(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    starts: jnp.ndarray,
+    ends: jnp.ndarray,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+) -> jnp.ndarray:
     B, T, Hq, Dh = q.shape
     Hkv = k.shape[2]
     assert Hq % Hkv == 0
     group = Hq // Hkv
     scale = Dh ** -0.5
-
-    if T % block_q != 0 or T % block_k != 0 or Dh % 128 != 0:
-        # un-tileable shape → XLA reference path
-        from ..ops.attention import dot_product_attention, make_attention_bias
-
-        pos = jnp.arange(T, dtype=jnp.int32)[None, :]
-        valid = (pos >= starts[:, None]) & (pos < ends[:, None])
-        bias = make_attention_bias(valid, valid, causal=causal)
-        return dot_product_attention(q, k, v, bias)
 
     qt = q.transpose(0, 2, 1, 3)  # (B, Hq, T, Dh)
     kt = k.transpose(0, 2, 1, 3)  # (B, Hkv, T, Dh)

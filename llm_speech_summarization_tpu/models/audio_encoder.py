@@ -119,6 +119,14 @@ def audio_encoder_forward(
     wav_mask = jnp.arange(N, dtype=jnp.int32)[None, :] < wav_lens[:, None]
     wav = wav * wav_mask.astype(wav.dtype)
 
+    # mixed precision: cast (possibly f32 master) params to the compute
+    # dtype once — otherwise every f32 bias add silently promotes the
+    # activations (and their autodiff residuals) back to f32
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(wav.dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        params,
+    )
+
     if setup.base == "hubert":
         frames, _ = hubert_forward(params["encoder"], setup.encoder_cfg, wav, wav_mask, remat=remat)
     else:

@@ -157,6 +157,8 @@ def init_hubert_params(rng: jax.Array, cfg: HubertConfig, dtype=jnp.bfloat16) ->
 def _conv1d(x: jnp.ndarray, w: jnp.ndarray, stride: int, padding: int = 0,
             groups: int = 1) -> jnp.ndarray:
     """x: (B, Cin, N), w: (Cout, Cin/groups, K) torch layout → (B, Cout, N')."""
+    # conv in operand dtype: preferred_element_type=f32 breaks reverse-mode
+    # autodiff (the transposed conv sees f32 cotangents vs bf16 weights)
     return jax.lax.conv_general_dilated(
         x,
         w,
@@ -164,8 +166,7 @@ def _conv1d(x: jnp.ndarray, w: jnp.ndarray, stride: int, padding: int = 0,
         padding=[(padding, padding)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def _feature_extractor(params: Params, cfg: HubertConfig, wav: jnp.ndarray) -> jnp.ndarray:

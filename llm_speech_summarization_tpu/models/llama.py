@@ -239,8 +239,10 @@ def llama_forward(
     kv_valid: Optional[jnp.ndarray] = None,
     kv_pad_lens: Optional[jnp.ndarray] = None,
     return_hidden: bool = False,
+    hidden_window: int = 0,
     compute_logits: bool = True,
     last_logit_only: bool = False,
+    logit_window: int = 0,
     remat: bool = False,
     attn_impl: str = "auto",
 ) -> LlamaOutput:
@@ -258,6 +260,13 @@ def llama_forward(
 
     ``attn_impl``: "auto" (Pallas on TPU when shapes allow, else XLA),
     "xla", or "pallas".
+
+    ``logit_window`` / ``hidden_window``: when > 0, logits (resp. the
+    hidden-state stack) cover only the LAST W positions. With the
+    left-padded splice layout the response always occupies the tail, so
+    training losses need only that window — this keeps the (B, W, V) logits
+    slab W/T times smaller than the full projection (the dominant training
+    memory term for a 128k vocab).
 
     `inputs_embeds` bypasses the embedding table exactly like the reference's
     embedding-injection path (reference: trainer.py:317-322,
@@ -332,7 +341,10 @@ def llama_forward(
         else:
             lp, cache_kv = layer_in, None
         out, kv_new = block(cfg, lp, h, positions, attn_args, inv_freq, cache_kv)
-        hs = out if return_hidden else jnp.zeros((0,), h.dtype)
+        if return_hidden:
+            hs = out[:, -hidden_window:] if hidden_window > 0 else out
+        else:
+            hs = jnp.zeros((0,), h.dtype)
         if kv_cache is None:
             return out, hs
         return out, (hs, kv_new)
@@ -362,7 +374,8 @@ def llama_forward(
     if return_hidden:
         # HF layout: index 0 = embedding output, i = output of block i
         # (reference: trainer.py:360-367 indexes hidden_states this way).
-        hidden_states = jnp.concatenate([inputs_embeds[None], hidden_stack], axis=0)
+        emb = inputs_embeds[:, -hidden_window:] if hidden_window > 0 else inputs_embeds
+        hidden_states = jnp.concatenate([emb[None], hidden_stack], axis=0)
 
     logits = None
     if compute_logits:
@@ -371,6 +384,8 @@ def llama_forward(
             # skipping the (B, T, V) projection saves T× the lm_head compute
             # and the dominant slab of prefill HBM (HF's num_logits_to_keep)
             x = x[:, -1:, :]
+        elif logit_window > 0:
+            x = x[:, -logit_window:, :]
         head = params["embed_tokens"].T if cfg.tie_embeddings else params["lm_head"]
         logits = jnp.einsum(
             "btd,dv->btv", x, head.astype(x.dtype), preferred_element_type=jnp.float32

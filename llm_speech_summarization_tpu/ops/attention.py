@@ -75,12 +75,17 @@ def dot_product_attention(
     if scale is None:
         scale = Dh ** -0.5
 
+    # full-precision matmuls only for f32 inputs (the CPU test/reference
+    # path); bf16 inputs use the native MXU pass with f32 accumulation —
+    # HIGHEST on bf16 would force the ~6x-slower multi-pass f32 emulation
+    precision = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+
     qg = q.reshape(B, T, Hkv, group, Dh)
     # (B, Hkv, group, T, S)
     logits = jnp.einsum(
         "bthgd,bshd->bhgts", qg, k,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     logits = logits * scale
     if bias is not None:
@@ -91,6 +96,6 @@ def dot_product_attention(
     out = jnp.einsum(
         "bhgts,bshd->bthgd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     return out.reshape(B, T, Hq, Dh).astype(q.dtype)

@@ -80,6 +80,6 @@ def ctc_segment_mean(
         weights,
         x,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None,
     )
     return pooled.astype(x.dtype), range_valid

@@ -75,6 +75,10 @@ def _forward_losses(
 
     need_teacher = tcfg.use_ld_loss or tcfg.use_fd_loss
     fd_layers = tuple(tcfg.fd_loss_connector_layers)
+    # every loss lives in the response window, which is right-aligned by the
+    # left-padded splice — logits/hidden are computed for the last W
+    # positions only (W/T-times smaller 128k-vocab logits slab)
+    W = batch.response_ids.shape[1] + 1
 
     if need_teacher:
         # --- teacher: text path (reference: trainer.py:337-344). Token ids
@@ -91,7 +95,8 @@ def _forward_losses(
         out = llama_forward(
             llm_params, llm_cfg,
             inputs_embeds=embeds, attn_mask=masks,
-            return_hidden=tcfg.use_fd_loss, remat=remat,
+            return_hidden=tcfg.use_fd_loss, hidden_window=W,
+            logit_window=W, remat=remat,
         )
         B = batch.wav.shape[0]
         s_logits, t_logits = out.logits[:B], out.logits[B:]
@@ -102,25 +107,31 @@ def _forward_losses(
         out = llama_forward(
             llm_params, llm_cfg,
             inputs_embeds=student.embeds, attn_mask=student.attn_mask,
-            return_hidden=False, remat=remat,
+            return_hidden=False, logit_window=W, remat=remat,
         )
         s_logits = out.logits
 
     losses = {}
     total = jnp.zeros((), jnp.float32)
 
-    ntp = response_cross_entropy(s_logits, student.labels, student.loss_mask)
+    ntp = response_cross_entropy(
+        s_logits, student.labels[:, -W:], student.loss_mask[:, -W:]
+    )
     losses["ntp_loss"] = ntp
     total = total + tcfg.ntp_loss_weight * ntp
 
     if tcfg.use_ld_loss:
         # both sequences are right-aligned to the same L → shared window mask
-        ld = soft_cross_entropy(s_logits, jax.lax.stop_gradient(t_logits), student.response_mask)
+        ld = soft_cross_entropy(
+            s_logits, jax.lax.stop_gradient(t_logits), student.response_mask[:, -W:]
+        )
         losses["ld_loss"] = ld
         total = total + tcfg.ld_loss_weight * ld
 
     if tcfg.use_fd_loss:
-        fd = feature_distillation_loss(s_hidden, t_hidden, fd_layers, student.response_mask)
+        fd = feature_distillation_loss(
+            s_hidden, t_hidden, fd_layers, student.response_mask[:, -W:]
+        )
         losses["fd_loss"] = fd
         total = total + tcfg.fd_loss_weight * fd
 
@@ -196,10 +207,17 @@ def make_eval_step(
         )
         embeds = jnp.concatenate([student.embeds, teacher.embeds], axis=0)
         masks = jnp.concatenate([student.attn_mask, teacher.attn_mask], axis=0)
-        out = llama_forward(llm_params, llm_cfg, inputs_embeds=embeds, attn_mask=masks)
+        W = batch.response_ids.shape[1] + 1
+        out = llama_forward(
+            llm_params, llm_cfg, inputs_embeds=embeds, attn_mask=masks, logit_window=W
+        )
         B = batch.wav.shape[0]
-        audio_nll = response_cross_entropy(out.logits[:B], student.labels, student.loss_mask)
-        text_nll = response_cross_entropy(out.logits[B:], teacher.labels, teacher.loss_mask)
+        audio_nll = response_cross_entropy(
+            out.logits[:B], student.labels[:, -W:], student.loss_mask[:, -W:]
+        )
+        text_nll = response_cross_entropy(
+            out.logits[B:], teacher.labels[:, -W:], teacher.loss_mask[:, -W:]
+        )
         return audio_nll, text_nll
 
     return jax.jit(eval_fn)
