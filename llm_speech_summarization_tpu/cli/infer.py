@@ -31,13 +31,9 @@ def main(argv=None):
     from ..infer.engine import LLMSpeechTextInference
 
     config = load_config(args.config)
-    engine = LLMSpeechTextInference(config)
-    if args.audio_encoder_checkpoint:
-        from ..train.checkpoint import load_encoder
-
-        engine.audio_encoder_params = load_encoder(
-            args.audio_encoder_checkpoint, engine.audio_encoder_params
-        )
+    engine = LLMSpeechTextInference(
+        config, audio_encoder_checkpoint=args.audio_encoder_checkpoint
+    )
 
     audio = load_wav(args.audio_file, target_sr=config.audio.sampling_rate)
     response = engine.generate_audio_response(

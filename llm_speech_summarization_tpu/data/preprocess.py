@@ -168,6 +168,27 @@ def get_ctc_pool_ranges(
     return ranges
 
 
+def make_ctc_fn(enc_params, head_params, enc_cfg, blank_id: int = 0, word_delim_id: int = 4):
+    """Build the ``ctc_fn`` used by :func:`preprocess_examples` from a
+    HuBERT-CTC checkpoint (convert via models/convert.py convert_hubert_ctc).
+
+    Default blank/word-delimiter ids match the wav2vec2/HuBERT CTC vocab
+    (<pad>=0 is the blank, '|'=4 the word delimiter), the model the
+    reference uses for offsets (reference: preprocess_data/utils.py:134-141).
+    """
+    import jax.numpy as jnp
+
+    from ..models.hubert import hubert_ctc_logits
+
+    def ctc_fn(audio):
+        wav = jnp.asarray(audio, jnp.float32)[None, :]
+        logits, _ = hubert_ctc_logits(enc_params, head_params, enc_cfg, wav)
+        pred_ids = np.asarray(jnp.argmax(logits[0], axis=-1))
+        return pred_ids, blank_id, word_delim_id
+
+    return ctc_fn
+
+
 # ---------------------------------------------------------------------------
 # Orchestration
 # ---------------------------------------------------------------------------

@@ -47,6 +47,7 @@ class LLMSpeechTextInference:
         self,
         config: Config,
         audio_encoder_params=None,
+        audio_encoder_checkpoint: Optional[str] = None,
         llm_params=None,
         llm_cfg: Optional[LlamaConfig] = None,
         tokenizer: Optional[Tokenizer] = None,
@@ -79,6 +80,12 @@ class LLMSpeechTextInference:
             if audio_encoder_params is not None
             else init_audio_encoder(k_enc, self.encoder_setup, dtype=param_dtype)
         )
+        if audio_encoder_checkpoint:
+            from ..train.checkpoint import load_encoder
+
+            self.audio_encoder_params = load_encoder(
+                audio_encoder_checkpoint, self.audio_encoder_params
+            )
 
         # Tokenizer + template (reference: inference.py:30-44)
         self.llm_type = config.model.llm_type

@@ -142,6 +142,18 @@ def convert_hubert(sd: StateDict, cfg: HubertConfig, dtype=np.float32) -> dict:
     return _cast(params, dtype)
 
 
+def convert_hubert_ctc(sd: StateDict, cfg: HubertConfig, dtype=np.float32) -> tuple:
+    """HF HubertForCTC state dict → (encoder params, ctc head params).
+
+    The CTC model feeds the preprocessing word-offset stage
+    (reference: preprocess_data/utils.py:127-152, facebook/hubert-large-
+    ls960-ft). HF prefixes the backbone with "hubert."."""
+    backbone = {k[len("hubert."):]: v for k, v in sd.items() if k.startswith("hubert.")}
+    enc = convert_hubert(backbone, cfg, dtype)
+    head = _cast({"ctc_w": sd["lm_head.weight"].T, "ctc_b": sd["lm_head.bias"]}, dtype)
+    return enc, head
+
+
 def convert_whisper_encoder(sd: StateDict, cfg: WhisperConfig, dtype=np.float32) -> dict:
     """HF WhisperModel (or encoder-only) state dict → init_whisper_params layout."""
     # accept either "encoder.xxx" (WhisperModel.encoder) or bare keys

@@ -268,3 +268,24 @@ def hubert_forward(
     if cfg.do_stable_layer_norm:
         h = layer_norm(h, params["encoder_ln_scale"], params["encoder_ln_bias"], cfg.layer_norm_eps)
     return h, frame_mask
+
+
+def init_hubert_ctc_head(rng: jax.Array, cfg: HubertConfig, vocab_size: int,
+                         dtype=jnp.bfloat16) -> Params:
+    """CTC head (HF HubertForCTC's lm_head) used by the preprocessing jobs
+    to produce word offsets (reference: preprocess_data/utils.py:134-152)."""
+    w = (0.02 * jax.random.normal(rng, (cfg.hidden_size, vocab_size), jnp.float32)).astype(dtype)
+    return {"ctc_w": w, "ctc_b": jnp.zeros((vocab_size,), dtype)}
+
+
+def hubert_ctc_logits(
+    params: Params,
+    head: Params,
+    cfg: HubertConfig,
+    wav: jnp.ndarray,
+    wav_mask: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """waveform → (framewise CTC logits (B, T, V), frame_mask)."""
+    frames, frame_mask = hubert_forward(params, cfg, wav, wav_mask)
+    logits = frames @ head["ctc_w"].astype(frames.dtype) + head["ctc_b"]
+    return logits.astype(jnp.float32), frame_mask

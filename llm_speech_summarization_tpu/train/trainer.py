@@ -154,21 +154,48 @@ class Trainer:
         return self._eval_steps[audio_bucket]
 
     def _batches(self, dataset, batch_size: int, shuffle: bool, seed: int) -> Iterator[Batch]:
+        """Collated batches with background prefetch.
+
+        The reference's only concurrency is its DataLoader worker pool
+        (reference: trainer.py:225-248, num_workers=4); here a thread pool
+        collates `num_workers` batches ahead so the TPU never waits on the
+        host pipeline.
+        """
         idx = np.arange(len(dataset))
         if shuffle:
             np.random.RandomState(seed).shuffle(idx)
         bcfg = self.config.train.buckets
         use_ctc = self.enc_setup.downsample_method == "ctc_pool"
         max_ranges = (max(bcfg.audio_samples) // 320 // 4 + 8) if use_ctc else None
-        for i in range(0, len(idx) - batch_size + 1, batch_size):
+
+        def make(i):
             examples = [dataset[int(j)] for j in idx[i : i + batch_size]]
-            yield collate_batch(
+            return collate_batch(
                 examples,
                 audio_buckets=bcfg.audio_samples,
                 max_text_tokens=bcfg.max_text_tokens,
                 max_response_tokens=bcfg.max_response_tokens,
                 max_pool_ranges=max_ranges,
             )
+
+        starts = list(range(0, len(idx) - batch_size + 1, batch_size))
+        workers = max(self.config.train.num_workers, 1)
+        if workers <= 1 or len(starts) <= 1:
+            for i in starts:
+                yield make(i)
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            pending = [pool.submit(make, i) for i in starts[: workers + 1]]
+            next_submit = workers + 1
+            while pending:
+                fut = pending.pop(0)
+                if next_submit < len(starts):
+                    pending.append(pool.submit(make, starts[next_submit]))
+                    next_submit += 1
+                yield fut.result()
 
     # ------------------------------------------------------------------
 

@@ -199,3 +199,56 @@ def test_log_mel_matches_whisper_feature_extractor():
     ours = np.asarray(log_mel_spectrogram(jnp.asarray(wav[None]), cfg, pad_to_frames=3000))[0]
     assert ours.shape == hf_mel.shape
     np.testing.assert_allclose(ours, hf_mel, rtol=1e-3, atol=2e-3)
+
+
+def test_hubert_ctc_matches_hf():
+    from transformers import HubertConfig as HFHubertConfig
+    from transformers import HubertForCTC
+
+    hf_cfg = HFHubertConfig(
+        vocab_size=32,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        conv_dim=(32, 32, 32, 32),
+        conv_kernel=(10, 8, 4, 4),
+        conv_stride=(5, 4, 4, 4),
+        conv_bias=True,
+        feat_extract_norm="layer",
+        do_stable_layer_norm=True,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        activation_dropout=0.0,
+        final_dropout=0.0,
+        layerdrop=0.0,
+    )
+    torch.manual_seed(5)
+    hf = HubertForCTC(hf_cfg).eval()
+
+    from llm_speech_summarization_tpu.models.convert import convert_hubert_ctc
+    from llm_speech_summarization_tpu.models.hubert import hubert_ctc_logits
+
+    cfg = HubertConfig(
+        conv_dims=(32, 32, 32, 32),
+        conv_kernels=(10, 8, 4, 4),
+        conv_strides=(5, 4, 4, 4),
+        conv_bias=True,
+        feat_extract_norm="layer",
+        hidden_size=64,
+        num_layers=2,
+        num_heads=4,
+        intermediate_size=128,
+        do_stable_layer_norm=True,
+        pos_conv_kernel=16,
+        pos_conv_groups=4,
+    )
+    enc, head = convert_hubert_ctc(_sd_to_numpy(hf), cfg)
+    wav = (0.1 * np.random.RandomState(6).randn(1, 8000)).astype(np.float32)
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor(wav)).logits.numpy()
+    ours, _ = hubert_ctc_logits(enc, head, cfg, jnp.asarray(wav))
+    np.testing.assert_allclose(np.asarray(ours), hf_logits, rtol=2e-3, atol=2e-4)
