@@ -37,6 +37,15 @@ def main(argv=None):
         config.train.mesh.data = d
         config.train.mesh.model = m
 
+    if config.debug.nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+    if config.debug.disable_jit:
+        import jax
+
+        jax.config.update("jax_disable_jit", True)
+
     mesh = make_mesh(config)
     trainer = Trainer(config, run_name=args.name, checkpoint_path=args.checkpoint_path, mesh=mesh)
     trainer.train()

@@ -134,6 +134,14 @@ class DataConfig:
 
 
 @dataclass
+class DebugConfig:
+    """Debug toggles (no reference counterpart — SURVEY.md §5 race/NaN row)."""
+
+    nans: bool = False  # jax_debug_nans: fail fast on NaN/Inf
+    disable_jit: bool = False
+
+
+@dataclass
 class LogConfig:
     # reference: config/llama3_hubert.yaml log.*
     checkpoint_dir: str = "checkpoints"
@@ -153,6 +161,7 @@ class Config:
     audio: AudioConfig = field(default_factory=AudioConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     log: LogConfig = field(default_factory=LogConfig)
+    debug: DebugConfig = field(default_factory=DebugConfig)
 
 
 def _build(cls: Any, raw: Any, path: str) -> Any:

@@ -53,11 +53,15 @@ class LLMSpeechTextInference:
         tokenizer: Optional[Tokenizer] = None,
         rng: Optional[jax.Array] = None,
         temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
         bucket: int = 128,
         decode_bucket: int = 64,
     ):
         self.config = config
         self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
         self.bucket = bucket  # prefill-length bucket (128 = flash-kernel tile)
         self.decode_bucket = decode_bucket  # max_new_tokens bucket
         self.dtype = jnp.dtype(config.model.compute_dtype)
@@ -131,6 +135,8 @@ class LLMSpeechTextInference:
             max_new_tokens=_round_up(max_new_tokens, self.decode_bucket),
             eos_id=self.tokenizer.eos_id,
             temperature=self.temperature,
+            top_k=self.top_k,
+            top_p=self.top_p,
             rng=rng,
             cache_dtype=self.dtype,
         )

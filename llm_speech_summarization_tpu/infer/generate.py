@@ -42,16 +42,41 @@ class _DecodeState(NamedTuple):
     rng: jax.Array
 
 
-def _sample(logits: jnp.ndarray, temperature: float, rng: jax.Array) -> jnp.ndarray:
-    """(B, V) logits → (B,) token ids."""
+def _sample(
+    logits: jnp.ndarray,
+    temperature: float,
+    rng: jax.Array,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jnp.ndarray:
+    """(B, V) logits → (B,) token ids.
+
+    Greedy at temperature<=0 (the reference's setting); temperature /
+    top-k / top-p sampling cover HF generate's common knobs (the reference
+    left do_sample commented out, reference: inference.py:58-64).
+    """
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return jax.random.categorical(rng, logits / temperature, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -1e30, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest prefix with cumulative mass >= top_p
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, -1e30, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "eos_id", "temperature", "cache_dtype"),
+    static_argnames=(
+        "cfg", "max_new_tokens", "eos_id", "temperature", "top_k", "top_p", "cache_dtype"
+    ),
 )
 def greedy_generate(
     params,
@@ -62,6 +87,8 @@ def greedy_generate(
     max_new_tokens: int,
     eos_id: int,
     temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
     rng: Optional[jax.Array] = None,
     cache_dtype=jnp.bfloat16,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -85,7 +112,7 @@ def greedy_generate(
         last_logit_only=True,
     )
     rng, k0 = jax.random.split(rng)
-    first = _sample(out.logits[:, -1], temperature, k0)  # (B,)
+    first = _sample(out.logits[:, -1], temperature, k0, top_k, top_p)  # (B,)
     lens = jnp.sum(attn_mask.astype(jnp.int32), axis=1)  # (B,) real prefill lengths
     pad_lens = (L - lens).astype(jnp.int32)  # valid cache slots start here
 
@@ -119,7 +146,7 @@ def greedy_generate(
             kv_pad_lens=pad_lens,
         )
         rng, k = jax.random.split(s.rng)
-        nxt = _sample(out.logits[:, 0], temperature, k)
+        nxt = _sample(out.logits[:, 0], temperature, k, top_k, top_p)
         nxt = jnp.where(s.done, eos_id, nxt)
         tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, s.step))
         return _DecodeState(

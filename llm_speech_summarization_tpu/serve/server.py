@@ -1,0 +1,222 @@
+"""Serving stack: dynamic-batching engine + HTTP server.
+
+The reference has no serving story — inference is a one-shot CLI over a
+single file (reference: inference.py:140-178). For production TPU serving,
+throughput comes from batching (PERF.md: decode cost is weight-read
+dominated, so co-scheduled requests ride almost free). This module adds:
+
+  * ``BatchingEngine`` — a dynamic batcher: concurrent requests queue up,
+    a scheduler thread drains up to ``max_batch`` compatible requests
+    (same endpoint kind / text prompt / token budget bucket) per engine
+    call, amortizing one TPU program across all of them;
+  * ``SummarizationServer`` — stdlib ThreadingHTTPServer exposing
+      POST /v1/audio_summary   {"audio": [f32...] | "audio_b64": <i16 pcm>,
+                                "sample_rate": 16000, "text_prompt": "",
+                                "max_new_tokens": 128}
+      POST /v1/text_response   {"text": "...", "max_new_tokens": 128}
+      GET  /healthz
+    JSON in/out; audio is resampled host-side via the native frontend.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class _Request:
+    kind: str  # "audio" | "text"
+    payload: Any  # waveform np.ndarray | str
+    text_prompt: str
+    max_new_tokens: int
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[str] = None
+    error: Optional[str] = None
+
+    @property
+    def group_key(self):
+        # bucket token budgets so requests with similar budgets co-batch
+        budget = ((self.max_new_tokens + 63) // 64) * 64
+        return (self.kind, self.text_prompt, budget)
+
+
+class BatchingEngine:
+    """Dynamic batcher over an LLMSpeechTextInference engine."""
+
+    def __init__(self, engine, max_batch: int = 32, max_wait_ms: float = 20.0):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self.batches_run = 0
+        self.requests_served = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, req: _Request, timeout: float = 300.0) -> str:
+        self._queue.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.result  # type: ignore[return-value]
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+
+    def _drain_compatible(self, first: _Request) -> List[_Request]:
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        leftovers: List[_Request] = []
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req.group_key == first.group_key:
+                batch.append(req)
+            else:
+                leftovers.append(req)
+        for req in leftovers:  # requeue different-group requests
+            self._queue.put(req)
+        return batch
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = self._drain_compatible(first)
+            try:
+                budget = max(r.max_new_tokens for r in batch)
+                if first.kind == "text":
+                    outs = self.engine.generate_text_response_batch(
+                        [r.payload for r in batch], max_new_tokens=budget
+                    )
+                else:
+                    outs = self.engine.generate_audio_response_batch(
+                        [r.payload for r in batch],
+                        additional_text_prompt=first.text_prompt,
+                        max_new_tokens=budget,
+                    )
+                for r, out in zip(batch, outs):
+                    r.result = out
+            except Exception as e:  # surface per-request
+                for r in batch:
+                    r.error = f"{type(e).__name__}: {e}"
+            finally:
+                self.batches_run += 1
+                self.requests_served += len(batch)
+                for r in batch:
+                    r.event.set()
+
+
+def _decode_audio(body: Dict[str, Any], target_sr: int) -> np.ndarray:
+    from ..data import native
+
+    if "audio_b64" in body:
+        pcm = np.frombuffer(base64.b64decode(body["audio_b64"]), np.int16)
+        wav = native.pcm16_to_f32_mono(pcm)
+    elif "audio" in body:
+        wav = np.asarray(body["audio"], np.float32)
+    else:
+        raise ValueError("request needs 'audio' or 'audio_b64'")
+    sr = int(body.get("sample_rate", target_sr))
+    if sr != target_sr:
+        wav = native.resample(wav, sr, target_sr)
+    return wav
+
+
+class SummarizationServer:
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 8080,
+                 max_batch: int = 32, max_wait_ms: float = 20.0):
+        self.batcher = BatchingEngine(engine, max_batch, max_wait_ms)
+        self.target_sr = engine.config.audio.sampling_rate
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+            def _respond(self, code: int, obj: Dict[str, Any]):
+                data = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._respond(200, {
+                        "status": "ok",
+                        "batches_run": outer.batcher.batches_run,
+                        "requests_served": outer.batcher.requests_served,
+                    })
+                else:
+                    self._respond(404, {"error": "not found"})
+
+            def do_POST(self):
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                    max_new = int(body.get("max_new_tokens", 128))
+                    if self.path == "/v1/text_response":
+                        req = _Request("text", str(body["text"]), "", max_new)
+                    elif self.path == "/v1/audio_summary":
+                        wav = _decode_audio(body, outer.target_sr)
+                        req = _Request(
+                            "audio", wav, str(body.get("text_prompt", "")), max_new
+                        )
+                    else:
+                        self._respond(404, {"error": "not found"})
+                        return
+                    result = outer.batcher.submit(req)
+                    self._respond(200, {"response": result})
+                except Exception as e:
+                    self._respond(400, {"error": f"{type(e).__name__}: {e}"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.batcher.shutdown()
+
+
+def serve(config, host: str = "0.0.0.0", port: int = 8080, **engine_kwargs):
+    """Build an engine from config and serve forever."""
+    from ..infer.engine import LLMSpeechTextInference
+
+    engine = LLMSpeechTextInference(config, **engine_kwargs)
+    server = SummarizationServer(engine, host=host, port=port)
+    print(f"serving on {host}:{server.port}")
+    server.serve_forever()

@@ -206,6 +206,23 @@ class Trainer:
         val_int = cfg.log.validation_interval
         max_steps = tcfg.steps
 
+        # preemption-safe: a SIGTERM (TPU-VM maintenance, spot reclaim)
+        # checkpoints before exit so -p/auto-resume continues seamlessly
+        # (the reference loses everything since its last validate,
+        # reference: trainer.py:516-528). SIGTERM only — SIGINT stays
+        # default so Ctrl-C interrupts hard.
+        import signal
+
+        self._stop_requested = False
+
+        def _on_sigterm(signum, frame):
+            self._stop_requested = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not in main thread
+            prev_handler = None
+
         for epoch in range(self.start_epoch, self.start_epoch + tcfg.epochs):
             print(f"Epoch {epoch}")
             t0 = time.time()
@@ -225,10 +242,16 @@ class Trainer:
                     )
                 if val_int and self.step % val_int == 0:
                     self.validate(epoch)
+                if self._stop_requested:
+                    print("SIGTERM received: checkpointing and stopping")
+                    ckpt.save_train_checkpoint(self.checkpoint_dir, self.step, epoch, self.state)
+                    return
                 if max_steps is not None and self.step >= max_steps:
                     self.validate(epoch)
                     return
             self.validate(epoch)
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
 
     # ------------------------------------------------------------------
 

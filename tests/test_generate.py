@@ -87,3 +87,27 @@ def test_engine_batch_matches_single():
     single2 = eng.generate_audio_response(a2, max_new_tokens=8)
     assert batch[0] == single1
     assert batch[1] == single2
+
+
+def test_sampling_modes():
+    """Temperature / top-k / top-p sampling produce valid in-vocab tokens."""
+    params = init_llama_params(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+    B, L = 2, 8
+    ids = jax.random.randint(jax.random.PRNGKey(5), (B, L), 1, TINY.vocab_size)
+    mask = jnp.ones((B, L), bool)
+    embeds = params["embed_tokens"][ids]
+    for kwargs in ({"temperature": 0.7}, {"temperature": 0.7, "top_k": 5},
+                   {"temperature": 1.0, "top_p": 0.9}):
+        toks, _ = greedy_generate(
+            params, TINY, embeds, mask, max_new_tokens=4, eos_id=257,
+            cache_dtype=jnp.float32, rng=jax.random.PRNGKey(0), **kwargs,
+        )
+        t = np.asarray(toks)
+        assert ((t >= 0) & (t < TINY.vocab_size)).all()
+    # top_k=1 at any temperature must equal greedy
+    g_toks, _ = greedy_generate(params, TINY, embeds, mask, max_new_tokens=4,
+                                eos_id=257, cache_dtype=jnp.float32)
+    k1_toks, _ = greedy_generate(params, TINY, embeds, mask, max_new_tokens=4,
+                                 eos_id=257, temperature=0.5, top_k=1,
+                                 cache_dtype=jnp.float32, rng=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(g_toks), np.asarray(k1_toks))

@@ -1,0 +1,101 @@
+"""Serving stack: HTTP endpoints + dynamic batching, driven over localhost."""
+
+import base64
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from llm_speech_summarization_tpu.configs import load_config
+from llm_speech_summarization_tpu.infer.engine import LLMSpeechTextInference
+from llm_speech_summarization_tpu.serve.server import SummarizationServer
+
+TINY_YAML = os.path.join(
+    os.path.dirname(__file__), "..", "llm_speech_summarization_tpu", "configs", "yaml",
+    "tiny_test.yaml",
+)
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = load_config(TINY_YAML)
+    engine = LLMSpeechTextInference(cfg)
+    srv = SummarizationServer(engine, host="127.0.0.1", port=0, max_wait_ms=50)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def _post(port, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/healthz") as resp:
+        assert resp.status == 200
+        assert json.loads(resp.read())["status"] == "ok"
+
+
+def test_text_endpoint(server):
+    status, body = _post(server.port, "/v1/text_response",
+                         {"text": "summarize this", "max_new_tokens": 8})
+    assert status == 200
+    assert isinstance(body["response"], str)
+
+
+def test_audio_endpoint_float_and_b64(server):
+    rng = np.random.RandomState(0)
+    wav = (0.05 * rng.randn(12000)).astype(np.float32)
+    status, body = _post(server.port, "/v1/audio_summary",
+                         {"audio": wav.tolist(), "max_new_tokens": 8})
+    assert status == 200 and isinstance(body["response"], str)
+
+    pcm = (wav * 32767).astype(np.int16)
+    status, body2 = _post(server.port, "/v1/audio_summary", {
+        "audio_b64": base64.b64encode(pcm.tobytes()).decode(),
+        "sample_rate": 16000,
+        "max_new_tokens": 8,
+    })
+    assert status == 200 and isinstance(body2["response"], str)
+
+
+def test_bad_request(server):
+    status, body = _post(server.port, "/v1/audio_summary", {"max_new_tokens": 8})
+    assert status == 400 and "error" in body
+    status, _ = _post(server.port, "/v1/nope", {})
+    assert status == 404
+
+
+def test_concurrent_requests_are_batched(server):
+    rng = np.random.RandomState(1)
+    wavs = [(0.05 * rng.randn(8000)).astype(np.float32) for _ in range(6)]
+    results = [None] * 6
+    before = server.batcher.batches_run
+
+    def call(i):
+        status, body = _post(server.port, "/v1/audio_summary",
+                             {"audio": wavs[i].tolist(), "max_new_tokens": 8})
+        results[i] = (status, body)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r[0] == 200 for r in results)
+    # 6 concurrent compatible requests must run in fewer engine calls
+    assert server.batcher.batches_run - before < 6
+    assert server.batcher.requests_served >= 6
