@@ -2,7 +2,7 @@
 
 Measures the product path (reference: inference.py:95-137): waveform →
 HuBERT-large → pool projector → [prefix|audio|suffix] splice → Llama-3.2-3B
-prefill + KV-cache greedy decode of 64 tokens, batched over 64 utterances of
+prefill + KV-cache greedy decode of 64 tokens, batched over 128 utterances of
 10 s each. Random-init weights (no egress in this environment); throughput
 is weight-independent.
 
@@ -23,7 +23,7 @@ import numpy as np
 
 BASELINE_UTT_PER_S = 0.53  # documented estimate, see module docstring
 
-BATCH = 64
+BATCH = 128
 AUDIO_SECONDS = 10.0
 MAX_NEW_TOKENS = 64
 ROUNDS = 3

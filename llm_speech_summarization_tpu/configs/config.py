@@ -49,6 +49,7 @@ class ModelConfig:
     llm_preset: Optional[str] = None  # overrides llm_type-derived preset
     param_dtype: str = "bfloat16"  # LLM (frozen) parameter dtype
     compute_dtype: str = "bfloat16"  # activations; reference used fp16 AMP
+    kv_cache_dtype: Optional[str] = None  # None → compute_dtype; "int8" halves decode KV traffic
 
 
 @dataclass

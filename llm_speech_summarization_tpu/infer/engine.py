@@ -65,6 +65,7 @@ class LLMSpeechTextInference:
         self.bucket = bucket  # prefill-length bucket (128 = flash-kernel tile)
         self.decode_bucket = decode_bucket  # max_new_tokens bucket
         self.dtype = jnp.dtype(config.model.compute_dtype)
+        self.cache_dtype = jnp.dtype(config.model.kv_cache_dtype or config.model.compute_dtype)
         rng = rng if rng is not None else jax.random.PRNGKey(config.seed_everything)
         k_enc, k_llm = jax.random.split(rng)
 
@@ -138,7 +139,7 @@ class LLMSpeechTextInference:
             top_k=self.top_k,
             top_p=self.top_p,
             rng=rng,
-            cache_dtype=self.dtype,
+            cache_dtype=self.cache_dtype,
         )
         tokens = np.asarray(tokens)
         lens = np.asarray(lens)

@@ -107,19 +107,47 @@ def llama_preset(name: str) -> LlamaConfig:
 class KVCache(NamedTuple):
     """KV cache, laid out (L, B, Hkv, S, Dh): the sequence axis is
     contiguous per head so the decode kernel streams it at full HBM
-    bandwidth with no transposes."""
+    bandwidth with no transposes.
 
-    k: jnp.ndarray  # (L, B, Hkv, S, Dh)
+    Optionally int8-quantized per (layer, sample, head, slot) row with
+    bf16 scales — halves decode-loop cache traffic (the second-largest
+    HBM term after the weights) and doubles the batch a chip can hold.
+    """
+
+    k: jnp.ndarray  # (L, B, Hkv, S, Dh) — bf16/f32, or int8 when quantized
     v: jnp.ndarray  # (L, B, Hkv, S, Dh)
+    k_scale: Optional[jnp.ndarray] = None  # (L, B, Hkv, S) bf16 iff int8
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def max_len(self) -> int:
         return self.k.shape[3]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    if jnp.dtype(dtype) == jnp.int8:
+        scale = jnp.zeros(shape[:-1], jnp.bfloat16)
+        return KVCache(
+            jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8), scale, scale
+        )
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., Dh) → (int8 values, bf16 per-row scale): symmetric absmax."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale.astype(jnp.bfloat16)
+
+
+def dequantize_kv(values: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (values.astype(jnp.float32) * scale[..., None].astype(jnp.float32)).astype(dtype)
 
 
 class LlamaOutput(NamedTuple):
@@ -200,7 +228,11 @@ def _block(
 
         attn = flash_attention(q, k, v, attn_args[0], attn_args[1], causal=True)
     elif attn_kind == "decode_xla":
-        k_cache, v_cache = cache_kv  # (B, Hkv, S, Dh)
+        if len(cache_kv) == 4:  # int8 cache → dequantize (fallback path)
+            k_cache = dequantize_kv(cache_kv[0], cache_kv[2], q.dtype)
+            v_cache = dequantize_kv(cache_kv[1], cache_kv[3], q.dtype)
+        else:
+            k_cache, v_cache = cache_kv  # (B, Hkv, S, Dh)
         k_att = jnp.concatenate(
             [k_cache.transpose(0, 2, 1, 3).astype(q.dtype), k], axis=1
         )  # (B, S+T, Hkv, Dh)
@@ -209,10 +241,14 @@ def _block(
     elif attn_kind == "decode_pallas":
         from ..kernels.decode_attention import decode_attention
 
-        k_cache, v_cache = cache_kv
+        if len(cache_kv) == 4:
+            k_cache, v_cache, k_scale, v_scale = cache_kv
+        else:
+            (k_cache, v_cache), k_scale, v_scale = cache_kv, None, None
         attn = decode_attention(
-            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), k, v,
+            q, k_cache, v_cache, k, v,
             attn_args[0], attn_args[1],
+            k_scale=k_scale, v_scale=v_scale,
         )
     else:
         raise ValueError(f"unknown attn kind {attn_kind}")
@@ -305,10 +341,18 @@ def llama_forward(
     else:
         assert cache_offset is not None
         S = kv_cache.max_len
-        # decode: XLA's fused attention currently beats the Pallas decode
-        # kernel (it hides the [cache|fresh] concat well); opt in to the
-        # Pallas path explicitly with attn_impl="pallas".
-        if attn_impl == "pallas" and kv_pad_lens is not None and T == 1:
+        # decode: for bf16 caches XLA's fused attention currently beats the
+        # Pallas decode kernel (it hides the [cache|fresh] concat well) —
+        # opt in explicitly with attn_impl="pallas". For int8 caches the
+        # Pallas kernel dequantizes in-register, so "auto" prefers it (the
+        # XLA fallback materializes a dequantized cache copy per step).
+        pallas_decode_ok = (
+            kv_pad_lens is not None
+            and T == 1
+            and cfg.head_dim % 128 == 0
+            and jax.default_backend() == "tpu"
+        )
+        if (attn_impl == "pallas" or (attn_impl == "auto" and kv_cache.quantized)) and pallas_decode_ok:
             attn_kind = "decode_pallas"
             attn_args = (kv_pad_lens.astype(jnp.int32), jnp.asarray(cache_offset, jnp.int32))
         else:
@@ -353,20 +397,39 @@ def llama_forward(
         x, hidden_stack = jax.lax.scan(scan_body, x, params["layers"])
         new_kv = None
     else:
-        xs = (params["layers"], (kv_cache.k, kv_cache.v)) if is_decode else params["layers"]
+        if is_decode:
+            cache_xs = (
+                (kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale)
+                if kv_cache.quantized
+                else (kv_cache.k, kv_cache.v)
+            )
+            xs = (params["layers"], cache_xs)
+        else:
+            xs = params["layers"]
         x, ys = jax.lax.scan(scan_body, x, xs)
         hidden_stack, (k_new, v_new) = ys  # k_new/v_new: (L, B, T, Hkv, Dh)
         # cache layout (L, B, Hkv, S, Dh): one O(L·B·T) in-place write
         # instead of O(L·B·S) per-layer copies
         k_new = k_new.transpose(0, 1, 3, 2, 4)  # (L, B, Hkv, T, Dh)
         v_new = v_new.transpose(0, 1, 3, 2, 4)
-        new_k = jax.lax.dynamic_update_slice(
-            kv_cache.k, k_new.astype(kv_cache.k.dtype), (0, 0, 0, cache_offset, 0)
-        )
-        new_v = jax.lax.dynamic_update_slice(
-            kv_cache.v, v_new.astype(kv_cache.v.dtype), (0, 0, 0, cache_offset, 0)
-        )
-        new_kv = KVCache(new_k, new_v)
+        if kv_cache.quantized:
+            kq, ks = _quantize_kv(k_new)
+            vq, vs = _quantize_kv(v_new)
+            new_kv = KVCache(
+                jax.lax.dynamic_update_slice(kv_cache.k, kq, (0, 0, 0, cache_offset, 0)),
+                jax.lax.dynamic_update_slice(kv_cache.v, vq, (0, 0, 0, cache_offset, 0)),
+                jax.lax.dynamic_update_slice(kv_cache.k_scale, ks, (0, 0, 0, cache_offset)),
+                jax.lax.dynamic_update_slice(kv_cache.v_scale, vs, (0, 0, 0, cache_offset)),
+            )
+        else:
+            new_kv = KVCache(
+                jax.lax.dynamic_update_slice(
+                    kv_cache.k, k_new.astype(kv_cache.k.dtype), (0, 0, 0, cache_offset, 0)
+                ),
+                jax.lax.dynamic_update_slice(
+                    kv_cache.v, v_new.astype(kv_cache.v.dtype), (0, 0, 0, cache_offset, 0)
+                ),
+            )
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
 

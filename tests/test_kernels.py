@@ -86,3 +86,63 @@ def test_decode_attention_matches_xla():
     v_att = np.concatenate([v_cache.transpose(0, 2, 1, 3), v_new], axis=1)
     ref = dot_product_attention(jnp.asarray(q), jnp.asarray(k_att), jnp.asarray(v_att), bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_decode_attention_int8_matches_dequantized_xla():
+    """Quantized kernel == XLA attention run on the dequantized cache."""
+    from llm_speech_summarization_tpu.models.llama import _quantize_kv, dequantize_kv
+
+    B, Hq, Hkv, Dh, S = 2, 4, 2, 128, 256
+    offset = 100
+    rng = np.random.RandomState(3)
+    q = rng.randn(B, 1, Hq, Dh).astype(np.float32)
+    k_cache_f = rng.randn(B, Hkv, S, Dh).astype(np.float32)
+    v_cache_f = rng.randn(B, Hkv, S, Dh).astype(np.float32)
+    k_new = rng.randn(B, 1, Hkv, Dh).astype(np.float32)
+    v_new = rng.randn(B, 1, Hkv, Dh).astype(np.float32)
+    pads = np.array([0, 13], np.int32)
+
+    kq, ks = _quantize_kv(jnp.asarray(k_cache_f))
+    vq, vs = _quantize_kv(jnp.asarray(v_cache_f))
+
+    out = decode_attention(
+        jnp.asarray(q), kq, vq, jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(pads), jnp.int32(offset), k_scale=ks, v_scale=vs,
+        interpret=True,
+    )
+
+    # XLA reference over the dequantized cache
+    k_deq = np.asarray(dequantize_kv(kq, ks, jnp.float32))
+    v_deq = np.asarray(dequantize_kv(vq, vs, jnp.float32))
+    slot = np.arange(S)[None, :]
+    kv_valid = (slot >= pads[:, None]) & (slot < offset)
+    kv_valid_full = np.concatenate([kv_valid, np.ones((B, 1), bool)], 1)
+    kv_idx = np.concatenate([np.arange(S), [offset]]).astype(np.int32)
+    bias = make_attention_bias(
+        jnp.ones((B, 1), bool), jnp.asarray(kv_valid_full), causal=True,
+        q_offset=jnp.full((B,), offset, jnp.int32), kv_idx=jnp.asarray(kv_idx),
+    )
+    k_att = np.concatenate([k_deq.transpose(0, 2, 1, 3), k_new], axis=1)
+    v_att = np.concatenate([v_deq.transpose(0, 2, 1, 3), v_new], axis=1)
+    ref = dot_product_attention(jnp.asarray(q), jnp.asarray(k_att), jnp.asarray(v_att), bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-3, atol=5e-4)
+
+
+def test_int8_cache_generation_close_to_fp():
+    """End-to-end greedy generation with an int8 cache should track the
+    full-precision tokens on a tiny model (near-lossless quantization)."""
+    from llm_speech_summarization_tpu.infer.generate import greedy_generate
+    from llm_speech_summarization_tpu.models.llama import init_llama_params, llama_preset
+
+    cfg = llama_preset("tiny")
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    B, L = 2, 16
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, L), 1, cfg.vocab_size)
+    mask = jnp.ones((B, L), bool)
+    embeds = params["embed_tokens"][ids]
+    toks_fp, _ = greedy_generate(params, cfg, embeds, mask, max_new_tokens=8,
+                                 eos_id=257, cache_dtype=jnp.float32)
+    toks_q, _ = greedy_generate(params, cfg, embeds, mask, max_new_tokens=8,
+                                eos_id=257, cache_dtype=jnp.int8)
+    agree = (np.asarray(toks_fp) == np.asarray(toks_q)).mean()
+    assert agree >= 0.75, f"int8 cache diverged: agreement {agree}"
