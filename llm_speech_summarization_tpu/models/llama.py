@@ -154,6 +154,7 @@ class LlamaOutput(NamedTuple):
     logits: Optional[jnp.ndarray]  # (B, T, V)
     hidden_states: Optional[jnp.ndarray]  # (L+1, B, T, D) iff requested
     kv_cache: Optional[KVCache]
+    final_hidden: Optional[jnp.ndarray] = None  # (B, W, D) post-final-norm
 
 
 def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.bfloat16) -> Params:
@@ -279,6 +280,7 @@ def llama_forward(
     compute_logits: bool = True,
     last_logit_only: bool = False,
     logit_window: int = 0,
+    return_final_hidden: bool = False,
     remat: bool = False,
     attn_impl: str = "auto",
 ) -> LlamaOutput:
@@ -440,6 +442,10 @@ def llama_forward(
         emb = inputs_embeds[:, -hidden_window:] if hidden_window > 0 else inputs_embeds
         hidden_states = jnp.concatenate([emb[None], hidden_stack], axis=0)
 
+    final_hidden = None
+    if return_final_hidden:
+        final_hidden = x[:, -logit_window:, :] if logit_window > 0 else x
+
     logits = None
     if compute_logits:
         if last_logit_only:
@@ -454,7 +460,12 @@ def llama_forward(
             "btd,dv->btv", x, head.astype(x.dtype), preferred_element_type=jnp.float32
         )
 
-    return LlamaOutput(logits=logits, hidden_states=hidden_states, kv_cache=new_kv)
+    return LlamaOutput(
+        logits=logits,
+        hidden_states=hidden_states,
+        kv_cache=new_kv,
+        final_hidden=final_hidden,
+    )
 
 
 def config_to_dict(cfg: LlamaConfig) -> dict:

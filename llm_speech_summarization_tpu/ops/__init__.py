@@ -3,7 +3,12 @@ from .rope import apply_rope, rope_inv_freq
 from .attention import dot_product_attention, make_attention_bias
 from .pooling import avg_pool_time, ctc_segment_mean, stack_downsample
 from .splice import SplicedBatch, splice_sequences
-from .losses import feature_distillation_loss, response_cross_entropy, soft_cross_entropy
+from .losses import (
+    feature_distillation_loss,
+    fused_ntp_ld_losses,
+    response_cross_entropy,
+    soft_cross_entropy,
+)
 
 __all__ = [
     "layer_norm",
@@ -18,6 +23,7 @@ __all__ = [
     "SplicedBatch",
     "splice_sequences",
     "feature_distillation_loss",
+    "fused_ntp_ld_losses",
     "response_cross_entropy",
     "soft_cross_entropy",
 ]

@@ -68,6 +68,113 @@ def soft_cross_entropy(
     return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def fused_ntp_ld_losses(
+    student_hidden: jnp.ndarray,
+    teacher_hidden: jnp.ndarray,
+    head_vd: jnp.ndarray,
+    labels: jnp.ndarray,
+    loss_mask: jnp.ndarray,
+    response_mask: jnp.ndarray,
+    vocab_chunk: int = 8192,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """NTP + logit-distillation losses WITHOUT materializing (B, W, V) logits.
+
+    The 128k-vocab logits tensor is the dominant training-memory slab even
+    after response-window slicing; this computes both losses by scanning
+    over vocab chunks with online log-sum-exp (the "flash" trick applied to
+    the loss; SURVEY §2.2's fused softmax-CE KD kernel, realized as a
+    remat-scanned XLA loop — the chunk matmuls are recomputed in backward,
+    costing 3 extra lm_head passes, negligible next to the LLM forward).
+
+    student_hidden/teacher_hidden: (B, W, D) final hidden states at the
+    response window (teacher is stop-gradient'd internally).
+    head_vd: (V, D) lm-head matrix in VOCAB-MAJOR layout (the embedding
+    table itself for tied weights — row slices are contiguous, so no
+    transposed copy of the 128k-row table is ever materialized).
+    labels/loss_mask/response_mask: (B, W) as in the unfused losses.
+
+    Returns (ntp_loss, ld_loss) matching response_cross_entropy /
+    soft_cross_entropy exactly (up to fp summation order).
+    """
+    B, W, D = student_hidden.shape
+    V = head_vd.shape[0]
+    n_chunks = (V + vocab_chunk - 1) // vocab_chunk
+    Vp = n_chunks * vocab_chunk
+    head_p = jnp.pad(head_vd, ((0, Vp - V), (0, 0)))
+    sh = student_hidden.reshape(B * W, D)
+    th = jax.lax.stop_gradient(teacher_hidden.reshape(B * W, D))
+    labels_f = labels.reshape(B * W)
+    N = B * W
+
+    neg = jnp.float32(-1e30)
+
+    def chunk_logits(h, c):
+        w = jax.lax.dynamic_slice(head_p, (c * vocab_chunk, 0), (vocab_chunk, D))
+        logits = jnp.einsum(
+            "nd,vd->nv", h, w.astype(h.dtype), preferred_element_type=jnp.float32
+        )
+        # mask padded vocab tail
+        v_idx = c * vocab_chunk + jnp.arange(vocab_chunk)
+        return jnp.where(v_idx[None, :] < V, logits, neg)
+
+    # ---- pass 1: online (max, sumexp) for student & teacher + extras.
+    # extras accumulated relative to the RUNNING max, rescaled on update:
+    #   t_dot = Σ_v exp(t_v − m_t) · s_v   (for Σ p_t·s)
+    #   label_logit = s_{label}
+    @jax.checkpoint
+    def pass1(carry, c):
+        m_s, l_s, m_t, l_t, t_dot, label_logit = carry
+        ls = chunk_logits(sh, c)  # (N, Vc) f32
+        lt = chunk_logits(th, c)
+
+        m_s_new = jnp.maximum(m_s, jnp.max(ls, axis=-1))
+        l_s = l_s * jnp.exp(m_s - m_s_new) + jnp.sum(
+            jnp.exp(ls - m_s_new[:, None]), axis=-1
+        )
+        m_t_new = jnp.maximum(m_t, jnp.max(lt, axis=-1))
+        alpha_t = jnp.exp(m_t - m_t_new)
+        l_t = l_t * alpha_t + jnp.sum(jnp.exp(lt - m_t_new[:, None]), axis=-1)
+        t_dot = t_dot * alpha_t + jnp.sum(
+            jnp.exp(lt - m_t_new[:, None]) * ls, axis=-1
+        )
+
+        # gather the label logit if it lives in this chunk
+        rel = labels_f - c * vocab_chunk
+        in_chunk = (rel >= 0) & (rel < vocab_chunk)
+        gathered = jnp.take_along_axis(
+            ls, jnp.clip(rel, 0, vocab_chunk - 1)[:, None], axis=1
+        )[:, 0]
+        label_logit = jnp.where(in_chunk, gathered, label_logit)
+        return (m_s_new, l_s, m_t_new, l_t, t_dot, label_logit), None
+
+    init = (
+        jnp.full((N,), neg, jnp.float32),
+        jnp.zeros((N,), jnp.float32),
+        jnp.full((N,), neg, jnp.float32),
+        jnp.zeros((N,), jnp.float32),
+        jnp.zeros((N,), jnp.float32),
+        jnp.full((N,), neg, jnp.float32),
+    )
+    (m_s, l_s, m_t, l_t, t_dot, label_logit), _ = jax.lax.scan(
+        pass1, init, jnp.arange(n_chunks)
+    )
+
+    lse_s = m_s + jnp.log(jnp.maximum(l_s, 1e-30))  # (N,)
+
+    # NTP: -(s_label - lse_s), per-sample mean then batch mean
+    nll = (lse_s - label_logit).reshape(B, W)
+    lm = loss_mask.astype(jnp.float32)
+    per_sample = jnp.sum(nll * lm, axis=-1) / jnp.maximum(jnp.sum(lm, axis=-1), 1.0)
+    has_any = (jnp.sum(lm, axis=-1) > 0).astype(jnp.float32)
+    ntp = jnp.sum(per_sample * has_any) / jnp.maximum(jnp.sum(has_any), 1.0)
+
+    # LD: -Σ_v p_t (s_v - lse_s) = lse_s - (Σ_v exp(t_v-m_t)·s_v) / l_t
+    ld_per_pos = (lse_s - t_dot / jnp.maximum(l_t, 1e-30)).reshape(B, W)
+    rm = response_mask.astype(jnp.float32)
+    ld = jnp.sum(ld_per_pos * rm) / jnp.maximum(jnp.sum(rm), 1.0)
+    return ntp, ld
+
+
 def feature_distillation_loss(
     student_hidden: Sequence[jnp.ndarray],
     teacher_hidden: Sequence[jnp.ndarray],

@@ -34,8 +34,8 @@ from ..models.audio_encoder import AudioEncoderParams, audio_encoder_forward
 from ..models.llama import LlamaConfig, llama_forward
 from ..ops.losses import (
     feature_distillation_loss,
+    fused_ntp_ld_losses,
     response_cross_entropy,
-    soft_cross_entropy,
 )
 from ..ops.splice import splice_sequences
 from ..data.batch import Batch
@@ -80,6 +80,9 @@ def _forward_losses(
     # positions only (W/T-times smaller 128k-vocab logits slab)
     W = batch.response_ids.shape[1] + 1
 
+    losses = {}
+    total = jnp.zeros((), jnp.float32)
+
     if need_teacher:
         # --- teacher: text path (reference: trainer.py:337-344). Token ids
         # are already BOS-stripped by the data layer (the reference strips
@@ -89,17 +92,32 @@ def _forward_losses(
             table, prefix_ids, suffix_ids, text_embeds, batch.text_lens,
             batch.response_ids, batch.response_lens, total_len=total_len,
         )
-        # one stacked forward — (2B, L) keeps matmuls big
+        # one stacked forward — (2B, L) keeps matmuls big. The fused loss
+        # consumes final hidden states; (B, W, 128k) logits are never
+        # materialized (ops/losses.py::fused_ntp_ld_losses).
         embeds = jnp.concatenate([student.embeds, teacher.embeds], axis=0)
         masks = jnp.concatenate([student.attn_mask, teacher.attn_mask], axis=0)
         out = llama_forward(
             llm_params, llm_cfg,
             inputs_embeds=embeds, attn_mask=masks,
             return_hidden=tcfg.use_fd_loss, hidden_window=W,
+            compute_logits=False, return_final_hidden=True,
             logit_window=W, remat=remat,
         )
         B = batch.wav.shape[0]
-        s_logits, t_logits = out.logits[:B], out.logits[B:]
+        head_vd = (
+            llm_params["embed_tokens"]
+            if llm_cfg.tie_embeddings
+            else llm_params["lm_head"].T
+        )
+        ntp, ld = fused_ntp_ld_losses(
+            out.final_hidden[:B],
+            out.final_hidden[B:],
+            head_vd,
+            student.labels[:, -W:],
+            student.loss_mask[:, -W:],
+            student.response_mask[:, -W:],
+        )
         if tcfg.use_fd_loss:
             s_hidden = out.hidden_states[:, :B]
             t_hidden = out.hidden_states[:, B:]
@@ -109,22 +127,16 @@ def _forward_losses(
             inputs_embeds=student.embeds, attn_mask=student.attn_mask,
             return_hidden=False, logit_window=W, remat=remat,
         )
-        s_logits = out.logits
+        ntp = response_cross_entropy(
+            out.logits, student.labels[:, -W:], student.loss_mask[:, -W:]
+        )
+        ld = None
 
-    losses = {}
-    total = jnp.zeros((), jnp.float32)
-
-    ntp = response_cross_entropy(
-        s_logits, student.labels[:, -W:], student.loss_mask[:, -W:]
-    )
     losses["ntp_loss"] = ntp
     total = total + tcfg.ntp_loss_weight * ntp
 
     if tcfg.use_ld_loss:
         # both sequences are right-aligned to the same L → shared window mask
-        ld = soft_cross_entropy(
-            s_logits, jax.lax.stop_gradient(t_logits), student.response_mask[:, -W:]
-        )
         losses["ld_loss"] = ld
         total = total + tcfg.ld_loss_weight * ld
 

@@ -229,3 +229,49 @@ def test_response_ce_matches_manual():
         nll = [-lp[t, labels[b, t]] for t in range(L) if mask[b, t]]
         total += np.mean(nll)
     assert abs(got - total / B) < 1e-5
+
+
+def test_fused_ntp_ld_matches_unfused():
+    from llm_speech_summarization_tpu.ops.losses import (
+        fused_ntp_ld_losses,
+        soft_cross_entropy,
+    )
+
+    rng = np.random.RandomState(11)
+    B, W, D, V = 2, 6, 16, 40
+    sh = rng.randn(B, W, D).astype(np.float32)
+    th = rng.randn(B, W, D).astype(np.float32)
+    head = rng.randn(D, V).astype(np.float32)
+    labels = rng.randint(0, V, (B, W)).astype(np.int32)
+    loss_mask = np.zeros((B, W), bool); loss_mask[0, 2:5] = True; loss_mask[1, 1:6] = True
+    resp_mask = np.zeros((B, W), bool); resp_mask[0, 2:] = True; resp_mask[1, 1:] = True
+
+    s_logits = jnp.einsum("bwd,dv->bwv", jnp.asarray(sh), jnp.asarray(head))
+    t_logits = jnp.einsum("bwd,dv->bwv", jnp.asarray(th), jnp.asarray(head))
+    ref_ntp = response_cross_entropy(s_logits, jnp.asarray(labels), jnp.asarray(loss_mask))
+    ref_ld = soft_cross_entropy(s_logits, t_logits, jnp.asarray(resp_mask))
+
+    ntp, ld = fused_ntp_ld_losses(
+        jnp.asarray(sh), jnp.asarray(th), jnp.asarray(head.T.copy()),
+        jnp.asarray(labels), jnp.asarray(loss_mask), jnp.asarray(resp_mask),
+        vocab_chunk=16,  # force multiple chunks incl. a padded tail
+    )
+    assert abs(float(ntp) - float(ref_ntp)) < 1e-4
+    assert abs(float(ld) - float(ref_ld)) < 1e-4
+
+    # gradients w.r.t. student hidden must match too
+    def fused_total(sh):
+        n, l = fused_ntp_ld_losses(
+            sh, jnp.asarray(th), jnp.asarray(head.T.copy()), jnp.asarray(labels),
+            jnp.asarray(loss_mask), jnp.asarray(resp_mask), vocab_chunk=16)
+        return n + l
+
+    def unfused_total(sh):
+        s_logits = jnp.einsum("bwd,dv->bwv", sh, jnp.asarray(head))
+        return response_cross_entropy(
+            s_logits, jnp.asarray(labels), jnp.asarray(loss_mask)
+        ) + soft_cross_entropy(s_logits, t_logits, jnp.asarray(resp_mask))
+
+    g1 = jax.grad(fused_total)(jnp.asarray(sh))
+    g2 = jax.grad(unfused_total)(jnp.asarray(sh))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-5)
