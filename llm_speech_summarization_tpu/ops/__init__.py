@@ -2,6 +2,7 @@ from .norms import layer_norm, rms_norm
 from .rope import apply_rope, rope_inv_freq
 from .attention import dot_product_attention, make_attention_bias
 from .pooling import avg_pool_time, ctc_segment_mean, stack_downsample
+from .ring_attention import ring_attention
 from .splice import SplicedBatch, splice_sequences
 from .losses import (
     feature_distillation_loss,
@@ -20,6 +21,7 @@ __all__ = [
     "avg_pool_time",
     "ctc_segment_mean",
     "stack_downsample",
+    "ring_attention",
     "SplicedBatch",
     "splice_sequences",
     "feature_distillation_loss",
