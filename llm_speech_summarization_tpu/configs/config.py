@@ -50,6 +50,8 @@ class ModelConfig:
     param_dtype: str = "bfloat16"  # LLM (frozen) parameter dtype
     compute_dtype: str = "bfloat16"  # activations; reference used fp16 AMP
     kv_cache_dtype: Optional[str] = None  # None → compute_dtype; "int8" halves decode KV traffic
+    llm_checkpoint: Optional[str] = None  # Orbax dir from cli/convert.py llm
+    encoder_checkpoint: Optional[str] = None  # Orbax dir (convert.py encoder or export)
 
 
 @dataclass

@@ -77,6 +77,15 @@ class LLMSpeechTextInference:
             if llm_params is not None
             else init_llama_params(k_llm, self.llm_cfg, dtype=param_dtype)
         )
+        if llm_params is None and config.model.llm_checkpoint:
+            import orbax.checkpoint as ocp
+            import os
+
+            ckptr = ocp.StandardCheckpointer()
+            self.llm_params = ckptr.restore(
+                os.path.abspath(config.model.llm_checkpoint),
+                {"llm_params": self.llm_params},
+            )["llm_params"]
 
         # Audio encoder (reference: inference.py:23-28)
         self.encoder_setup = encoder_setup_from_config(config)
@@ -85,6 +94,7 @@ class LLMSpeechTextInference:
             if audio_encoder_params is not None
             else init_audio_encoder(k_enc, self.encoder_setup, dtype=param_dtype)
         )
+        audio_encoder_checkpoint = audio_encoder_checkpoint or config.model.encoder_checkpoint
         if audio_encoder_checkpoint:
             from ..train.checkpoint import load_encoder
 
@@ -119,9 +129,6 @@ class LLMSpeechTextInference:
     # ------------------------------------------------------------------
     # internals
     # ------------------------------------------------------------------
-
-    def _embed_tokens(self, ids: jnp.ndarray) -> jnp.ndarray:
-        return self.llm_params["embed_tokens"][ids].astype(self.dtype)
 
     def _generate_from_embeds(
         self, embeds: jnp.ndarray, attn_mask: jnp.ndarray, max_new_tokens: int, rng=None

@@ -74,6 +74,14 @@ class Trainer:
         k_enc, k_llm, self.rng = jax.random.split(self.rng, 3)
         self.llm_cfg = llama_preset(config.model.llm_preset or config.model.llm_type)
         self.llm_params = init_llama_params(k_llm, self.llm_cfg, dtype=param_dtype)
+        if config.model.llm_checkpoint:
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            self.llm_params = ckptr.restore(
+                os.path.abspath(config.model.llm_checkpoint),
+                {"llm_params": self.llm_params},
+            )["llm_params"]
         self.enc_setup = encoder_setup_from_config(config)
         enc_params = init_audio_encoder(k_enc, self.enc_setup, dtype=jnp.float32)
 

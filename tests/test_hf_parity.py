@@ -252,3 +252,48 @@ def test_hubert_ctc_matches_hf():
         hf_logits = hf(torch.tensor(wav)).logits.numpy()
     ours, _ = hubert_ctc_logits(enc, head, cfg, jnp.asarray(wav))
     np.testing.assert_allclose(np.asarray(ours), hf_logits, rtol=2e-3, atol=2e-4)
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """HF dir → cli.convert → engine loads via config → logits match HF."""
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+
+    torch.manual_seed(9)
+    hf = LlamaForCausalLM(HFLlamaConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=True,
+        attention_bias=False, mlp_bias=False,
+    )).eval()
+    hf_dir = tmp_path / "hf"
+    hf.save_pretrained(str(hf_dir), safe_serialization=True)
+
+    from llm_speech_summarization_tpu.cli.convert import main as convert_main
+
+    out_dir = tmp_path / "converted"
+    convert_main(["llm", "--hf_dir", str(hf_dir), "--preset", "tiny",
+                  "--output", str(out_dir), "--dtype", "float32"])
+
+    import os
+
+    from llm_speech_summarization_tpu.configs import load_config
+    from llm_speech_summarization_tpu.infer.engine import LLMSpeechTextInference
+
+    yaml = os.path.join(
+        os.path.dirname(__file__), "..", "llm_speech_summarization_tpu",
+        "configs", "yaml", "tiny_test.yaml",
+    )
+    cfg = load_config(yaml)
+    cfg.model.llm_checkpoint = str(out_dir)
+    eng = LLMSpeechTextInference(cfg)
+
+    ids = np.random.RandomState(3).randint(0, 512, (1, 8)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = hf(input_ids=torch.tensor(ids)).logits.numpy()
+    from llm_speech_summarization_tpu.models.llama import llama_forward
+
+    ours = np.asarray(
+        llama_forward(eng.llm_params, eng.llm_cfg, input_ids=jnp.asarray(ids)).logits
+    )
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-4, atol=2e-4)
