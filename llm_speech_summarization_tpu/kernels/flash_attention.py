@@ -100,6 +100,16 @@ def _xla_reference(q, k, v, starts, ends, causal):
     return dot_product_attention(q, k, v, bias)
 
 
+def _pick_block(T: int) -> int:
+    """Largest tile in {512, 384, 256, 128} dividing T — bigger tiles keep
+    the MXU busier per grid step (measured ~25% at T=384) while the (b, b)
+    f32 logits tile stays ≤ 1 MB of VMEM."""
+    for b in (512, 384, 256, 128):
+        if T % b == 0:
+            return b
+    return 128
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -107,8 +117,8 @@ def flash_attention(
     starts: jnp.ndarray,
     ends: jnp.ndarray,
     causal: bool = True,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 0,
+    block_k: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """q: (B, T, Hq, Dh); k, v: (B, T, Hkv, Dh); starts/ends: (B,) int32.
@@ -119,6 +129,8 @@ def flash_attention(
     reference path (a dedicated backward kernel is a further optimization).
     """
     B, T, Hq, Dh = q.shape
+    block_q = block_q or _pick_block(T)
+    block_k = block_k or _pick_block(T)
     if T % block_q != 0 or T % block_k != 0 or Dh % 128 != 0:
         # un-tileable shape → XLA reference path
         return _xla_reference(q, k, v, starts, ends, causal)

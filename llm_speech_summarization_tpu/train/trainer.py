@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import Config
-from ..data.collate import collate_batch, pick_bucket
+from ..data.collate import collate_batch
 from ..data.datasets import load_training_datasets
 from ..models.audio_encoder import encoder_setup_from_config, init_audio_encoder
 from ..models.llama import init_llama_params, llama_preset
