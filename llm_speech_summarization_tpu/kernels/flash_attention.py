@@ -131,7 +131,7 @@ def flash_attention(
     B, T, Hq, Dh = q.shape
     block_q = block_q or _pick_block(T)
     block_k = block_k or _pick_block(T)
-    if T % block_q != 0 or T % block_k != 0 or Dh % 128 != 0:
+    if T % block_q != 0 or T % block_k != 0 or not (Dh % 128 == 0 or Dh == 64):
         # un-tileable shape → XLA reference path
         return _xla_reference(q, k, v, starts, ends, causal)
     return _flash_diff(q, k, v, starts, ends, causal, block_q, block_k, interpret)

@@ -235,7 +235,22 @@ def hubert_forward(
     if not cfg.do_stable_layer_norm:
         h = layer_norm(h, params["encoder_ln_scale"], params["encoder_ln_bias"], cfg.layer_norm_eps)
 
-    bias = make_attention_bias(frame_mask, frame_mask, causal=False)
+    # On TPU, pad frames to a flash-tileable length and run the Pallas
+    # kernel with per-sample [0, n_valid) windows; otherwise XLA attention
+    # over the boolean mask (identical semantics, tests cover both).
+    n_valid = jnp.sum(frame_mask.astype(jnp.int32), axis=1)
+    T_real = h.shape[1]
+    use_flash = jax.default_backend() == "tpu" and (cfg.hidden_size // cfg.num_heads) in (64, 128)
+    if use_flash:
+        T_pad = ((T_real + 127) // 128) * 128
+        if T_pad != T_real:
+            h = jnp.pad(h, ((0, 0), (0, T_pad - T_real), (0, 0)))
+        T = T_pad
+        bias = None
+        starts = jnp.zeros((B,), jnp.int32)
+    else:
+        T = T_real
+        bias = make_attention_bias(frame_mask, frame_mask, causal=False)
     Hh = cfg.num_heads
     Dh = cfg.hidden_size // Hh
 
@@ -248,7 +263,13 @@ def hubert_forward(
             q = (a_in @ lp["wq"] + lp["bq"]).reshape(B, T, Hh, Dh)
             k = (a_in @ lp["wk"] + lp["bk"]).reshape(B, T, Hh, Dh)
             v = (a_in @ lp["wv"] + lp["bv"]).reshape(B, T, Hh, Dh)
-            a = dot_product_attention(q, k, v, bias).reshape(B, T, cfg.hidden_size)
+            if use_flash:
+                from ..kernels.flash_attention import flash_attention
+
+                a = flash_attention(q, k, v, starts, n_valid, causal=False)
+                a = a.reshape(B, T, cfg.hidden_size)
+            else:
+                a = dot_product_attention(q, k, v, bias).reshape(B, T, cfg.hidden_size)
             h = h + (a @ lp["wo"] + lp["bo"])
             if not cfg.do_stable_layer_norm:  # post-LN
                 h = layer_norm(h, lp["ln1_scale"], lp["ln1_bias"], cfg.layer_norm_eps)
@@ -267,6 +288,8 @@ def hubert_forward(
     h, _ = jax.lax.scan(block, h, params["layers"])
     if cfg.do_stable_layer_norm:
         h = layer_norm(h, params["encoder_ln_scale"], params["encoder_ln_bias"], cfg.layer_norm_eps)
+    if use_flash and T != T_real:
+        h = h[:, :T_real]
     return h, frame_mask
 
 

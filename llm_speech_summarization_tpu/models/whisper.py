@@ -236,14 +236,25 @@ def whisper_forward(
 
     if mel_frame_counts is None:
         frame_mask = jnp.ones((B, T), bool)
+        n_valid = jnp.full((B,), T, jnp.int32)
     else:
         n_valid = (mel_frame_counts.astype(jnp.int32) + 1) // 2
         frame_mask = jnp.arange(T, dtype=jnp.int32)[None, :] < n_valid[:, None]
 
-    bias = make_attention_bias(frame_mask, frame_mask, causal=False)
+    # TPU: pad frames to a flash-tileable length, run the Pallas kernel
+    # with [0, n_valid) windows (same trick as hubert_forward)
+    T_real = T
+    use_flash = jax.default_backend() == "tpu" and (cfg.d_model // cfg.num_heads) in (64, 128)
+    if use_flash:
+        T = ((T_real + 127) // 128) * 128
+        if T != T_real:
+            h = jnp.pad(h, ((0, 0), (0, T - T_real), (0, 0)))
+        bias = None
+        starts = jnp.zeros((B,), jnp.int32)
+    else:
+        bias = make_attention_bias(frame_mask, frame_mask, causal=False)
     Hh = cfg.num_heads
     Dh = cfg.d_model // Hh
-    scale_q = Dh ** -0.5
 
     def block(h, lp):
         def attn_ffn(h):
@@ -251,7 +262,13 @@ def whisper_forward(
             q = (a_in @ lp["wq"] + lp["bq"]).reshape(B, T, Hh, Dh)
             k = (a_in @ lp["wk"]).reshape(B, T, Hh, Dh)
             v = (a_in @ lp["wv"] + lp["bv"]).reshape(B, T, Hh, Dh)
-            a = dot_product_attention(q, k, v, bias).reshape(B, T, cfg.d_model)
+            if use_flash:
+                from ..kernels.flash_attention import flash_attention
+
+                a = flash_attention(q, k, v, starts, n_valid, causal=False)
+                a = a.reshape(B, T, cfg.d_model)
+            else:
+                a = dot_product_attention(q, k, v, bias).reshape(B, T, cfg.d_model)
             h = h + (a @ lp["wo"] + lp["bo"])
             f_in = layer_norm(h, lp["ln2_scale"], lp["ln2_bias"], cfg.layer_norm_eps)
             f = jax.nn.gelu(f_in @ lp["w1"] + lp["b1"], approximate=False)
@@ -262,4 +279,6 @@ def whisper_forward(
 
     h, _ = jax.lax.scan(block, h, params["layers"])
     h = layer_norm(h, params["final_ln_scale"], params["final_ln_bias"], cfg.layer_norm_eps)
+    if use_flash and T != T_real:
+        h = h[:, :T_real]
     return h, frame_mask
