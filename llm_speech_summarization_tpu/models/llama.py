@@ -251,6 +251,38 @@ def _block(
             attn_args[0], attn_args[1],
             k_scale=k_scale, v_scale=v_scale,
         )
+    elif attn_kind == "decode_xla_q":
+        # fused XLA decode over the quantized cache in its native layout:
+        # int8→bf16 converts fuse into the matmuls (no materialized dequant,
+        # no [cache|fresh] concat, no per-layer kernel-launch overhead)
+        k_cache, v_cache, k_scale, v_scale = cache_kv  # (B, Hkv, S, Dh)
+        pad_lens, offset = attn_args
+        S = k_cache.shape[2]
+        group = Hq // Hkv
+        qg = q.reshape(B, Hkv, group, Dh)  # T == 1
+        s_c = jnp.einsum(
+            "bhgd,bhsd->bhgs", qg, k_cache.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * k_scale[:, :, None, :].astype(jnp.float32)
+        s_c = s_c * (Dh ** -0.5)
+        slot = jnp.arange(S, dtype=jnp.int32)
+        valid = (slot[None, :] >= pad_lens[:, None]) & (slot[None, :] < offset)
+        s_c = jnp.where(valid[:, None, None, :], s_c, -1e30)
+        s_new = jnp.einsum(
+            "bhgd,bhd->bhg", qg, k[:, 0], preferred_element_type=jnp.float32
+        )[..., None] * (Dh ** -0.5)  # (B, Hkv, group, 1)
+        m = jnp.maximum(jnp.max(s_c, axis=-1, keepdims=True), s_new)
+        p_c = jnp.exp(s_c - m)
+        p_new = jnp.exp(s_new - m)
+        denom = jnp.sum(p_c, axis=-1, keepdims=True) + p_new
+        pv = jnp.einsum(
+            "bhgs,bhsd->bhgd",
+            (p_c * v_scale[:, :, None, :].astype(jnp.float32)).astype(q.dtype),
+            v_cache.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        pv = pv + p_new * v[:, 0][:, :, None, :].astype(jnp.float32)
+        attn = (pv / denom).reshape(B, 1, Hq, Dh).astype(q.dtype)
     else:
         raise ValueError(f"unknown attn kind {attn_kind}")
 
@@ -354,8 +386,11 @@ def llama_forward(
             and cfg.head_dim % 128 == 0
             and jax.default_backend() == "tpu"
         )
-        if (attn_impl == "pallas" or (attn_impl == "auto" and kv_cache.quantized)) and pallas_decode_ok:
+        if attn_impl == "pallas" and pallas_decode_ok:
             attn_kind = "decode_pallas"
+            attn_args = (kv_pad_lens.astype(jnp.int32), jnp.asarray(cache_offset, jnp.int32))
+        elif kv_cache.quantized and kv_pad_lens is not None and T == 1:
+            attn_kind = "decode_xla_q"
             attn_args = (kv_pad_lens.astype(jnp.int32), jnp.asarray(cache_offset, jnp.int32))
         else:
             if kv_valid is None:
