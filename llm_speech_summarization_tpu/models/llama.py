@@ -252,10 +252,14 @@ def _block(
             k_scale=k_scale, v_scale=v_scale,
         )
     elif attn_kind == "decode_xla_q":
-        # fused XLA decode over the quantized cache in its native layout:
-        # int8→bf16 converts fuse into the matmuls (no materialized dequant,
-        # no [cache|fresh] concat, no per-layer kernel-launch overhead)
-        k_cache, v_cache, k_scale, v_scale = cache_kv  # (B, Hkv, S, Dh)
+        # fused XLA decode over the cache in its native (B, Hkv, S, Dh)
+        # layout: int8→bf16 converts (when quantized) fuse into the
+        # matmuls — no materialized dequant, no [cache|fresh] concat, no
+        # per-layer kernel-launch overhead
+        if len(cache_kv) == 4:
+            k_cache, v_cache, k_scale, v_scale = cache_kv
+        else:
+            (k_cache, v_cache), k_scale, v_scale = cache_kv, None, None
         pad_lens, offset = attn_args
         S = k_cache.shape[2]
         group = Hq // Hkv
@@ -263,7 +267,9 @@ def _block(
         s_c = jnp.einsum(
             "bhgd,bhsd->bhgs", qg, k_cache.astype(q.dtype),
             preferred_element_type=jnp.float32,
-        ) * k_scale[:, :, None, :].astype(jnp.float32)
+        )
+        if k_scale is not None:
+            s_c = s_c * k_scale[:, :, None, :].astype(jnp.float32)
         s_c = s_c * (Dh ** -0.5)
         slot = jnp.arange(S, dtype=jnp.int32)
         valid = (slot[None, :] >= pad_lens[:, None]) & (slot[None, :] < offset)
@@ -275,9 +281,14 @@ def _block(
         p_c = jnp.exp(s_c - m)
         p_new = jnp.exp(s_new - m)
         denom = jnp.sum(p_c, axis=-1, keepdims=True) + p_new
+        p_eff = (
+            p_c * v_scale[:, :, None, :].astype(jnp.float32)
+            if v_scale is not None
+            else p_c
+        )
         pv = jnp.einsum(
             "bhgs,bhsd->bhgd",
-            (p_c * v_scale[:, :, None, :].astype(jnp.float32)).astype(q.dtype),
+            p_eff.astype(q.dtype),
             v_cache.astype(q.dtype),
             preferred_element_type=jnp.float32,
         )
@@ -389,7 +400,8 @@ def llama_forward(
         if attn_impl == "pallas" and pallas_decode_ok:
             attn_kind = "decode_pallas"
             attn_args = (kv_pad_lens.astype(jnp.int32), jnp.asarray(cache_offset, jnp.int32))
-        elif kv_cache.quantized and kv_pad_lens is not None and T == 1:
+        elif kv_pad_lens is not None and T == 1:
+            # fused native-layout decode for both bf16 and int8 caches
             attn_kind = "decode_xla_q"
             attn_args = (kv_pad_lens.astype(jnp.int32), jnp.asarray(cache_offset, jnp.int32))
         else:
