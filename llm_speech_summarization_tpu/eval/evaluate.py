@@ -11,7 +11,7 @@ TensorBoard reading (reference: trainer.py:501-514).
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -28,8 +28,7 @@ import jax.numpy as jnp
 
 from ..configs import Config
 from ..ops.pooling import avg_pool_time, ctc_segment_mean, stack_downsample
-from ..utils.prompts import compute_num_audio_embeds
-from .hubert import HubertConfig, hubert_forward, hubert_preset, init_hubert_params
+from .hubert import hubert_forward, hubert_preset, init_hubert_params
 from .whisper import (
     WhisperConfig,
     init_whisper_params,

@@ -22,9 +22,6 @@ Losses (reference: trainer.py:328-370):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, NamedTuple, Optional
-
 import jax
 import jax.numpy as jnp
 import optax
