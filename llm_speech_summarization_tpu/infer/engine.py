@@ -147,6 +147,7 @@ class LLMSpeechTextInference:
             top_p=self.top_p,
             rng=rng,
             cache_dtype=self.cache_dtype,
+            num_steps=jnp.int32(max_new_tokens),
         )
         tokens = np.asarray(tokens)
         lens = np.asarray(lens)

@@ -91,8 +91,14 @@ def greedy_generate(
     top_p: float = 1.0,
     rng: Optional[jax.Array] = None,
     cache_dtype=jnp.bfloat16,
+    num_steps: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Generate up to ``max_new_tokens`` from a left-padded embeds batch.
+
+    ``max_new_tokens`` is STATIC (it sizes the cache and output buffer and
+    is bucketed by callers to bound compilations); ``num_steps`` is an
+    optional TRACED cap below it, so a request for e.g. 3 tokens inside a
+    64-token bucket runs 3 decode steps, not 64.
 
     Returns (tokens (B, max_new_tokens) int32, eos-padded; lengths (B,)).
     """
@@ -100,6 +106,11 @@ def greedy_generate(
     S = L + max_new_tokens
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    step_cap = (
+        jnp.int32(max_new_tokens)
+        if num_steps is None
+        else jnp.minimum(jnp.asarray(num_steps, jnp.int32), max_new_tokens)
+    )
 
     cache = init_kv_cache(cfg, B, S, dtype=cache_dtype)
     out = llama_forward(
@@ -128,7 +139,7 @@ def greedy_generate(
     )
 
     def cond(s: _DecodeState):
-        return (s.step < max_new_tokens) & ~jnp.all(s.done)
+        return (s.step < step_cap) & ~jnp.all(s.done)
 
     def body(s: _DecodeState):
         offset = L + s.step - 1  # cache slot the fed token will be written to

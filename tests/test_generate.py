@@ -111,3 +111,21 @@ def test_sampling_modes():
                                  eos_id=257, temperature=0.5, top_k=1,
                                  cache_dtype=jnp.float32, rng=jax.random.PRNGKey(1))
     np.testing.assert_array_equal(np.asarray(g_toks), np.asarray(k1_toks))
+
+
+def test_num_steps_caps_decode():
+    """A traced step cap below the static bucket stops decoding early."""
+    params = init_llama_params(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(7), (1, 8), 1, TINY.vocab_size)
+    mask = jnp.ones((1, 8), bool)
+    embeds = params["embed_tokens"][ids]
+    toks_full, lens_full = greedy_generate(
+        params, TINY, embeds, mask, max_new_tokens=16, eos_id=257,
+        cache_dtype=jnp.float32)
+    toks_cap, lens_cap = greedy_generate(
+        params, TINY, embeds, mask, max_new_tokens=16, eos_id=257,
+        cache_dtype=jnp.float32, num_steps=jnp.int32(3))
+    # the first 3 tokens match; everything after the cap is eos padding
+    np.testing.assert_array_equal(np.asarray(toks_cap)[:, :3], np.asarray(toks_full)[:, :3])
+    assert (np.asarray(toks_cap)[:, 3:] == 257).all()
+    assert int(lens_cap[0]) <= 4
