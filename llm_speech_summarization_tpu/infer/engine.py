@@ -42,6 +42,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad_batch(n: int) -> int:
+    """Batch-size bucket: next power of two (XLA compiles one program per
+    shape — without this, every distinct request-batch size pays a full
+    compile, which dominated serving latency under mixed load)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 class LLMSpeechTextInference:
     def __init__(
         self,
@@ -204,19 +214,22 @@ class LLMSpeechTextInference:
         The full templated prompt is tokenized and embedded directly — no
         splicing — exactly like the reference's f"{prefix} {text}{suffix} ".
         """
+        n_real = len(input_texts)
         ids_list = [
             self.tokenizer.encode(self.template.full_text_prompt(t), add_bos=True)
             for t in input_texts
         ]
         L = _round_up(max(len(i) for i in ids_list), self.bucket)
-        B = len(ids_list)
+        B = _pad_batch(n_real)
+        ids_list = ids_list + [ids_list[0]] * (B - n_real)
         ids = np.zeros((B, L), np.int32)
         mask = np.zeros((B, L), bool)
         for b, row in enumerate(ids_list):  # left padding (reference: trainer.py:53)
             ids[b, L - len(row):] = row
             mask[b, L - len(row):] = True
         embeds = self._text_embed_fn(self.llm_params, jnp.asarray(ids), jnp.asarray(mask))
-        return self._generate_from_embeds(embeds, jnp.asarray(mask), max_new_tokens)
+        out = self._generate_from_embeds(embeds, jnp.asarray(mask), max_new_tokens)
+        return out[:n_real]
 
     def generate_audio_response(
         self,
@@ -241,7 +254,9 @@ class LLMSpeechTextInference:
     ) -> List[str]:
         """Audio(+text)-prompted generation (reference: inference.py:95-137),
         batched over utterances of different lengths."""
-        B = len(audios)
+        n_real = len(audios)
+        B = _pad_batch(n_real)
+        audios = list(audios) + [audios[0]] * (B - n_real)
         lens = np.array([len(a) for a in audios], np.int32)
         N = _round_up(int(lens.max()), 1600)  # 100 ms audio buckets
         wav = np.zeros((B, N), np.float32)
@@ -284,7 +299,7 @@ class LLMSpeechTextInference:
             txt_ids,
             txt_lens,
         )
-        return self._generate_from_embeds(embeds, mask, max_new_tokens)
+        return self._generate_from_embeds(embeds, mask, max_new_tokens)[:n_real]
 
     def _audio_embed_buffer_len(self, num_samples: int, num_ranges=None) -> int:
         key = (num_samples, num_ranges)

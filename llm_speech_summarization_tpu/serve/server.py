@@ -193,6 +193,9 @@ class SummarizationServer:
                 except Exception as e:
                     self._respond(400, {"error": f"{type(e).__name__}: {e}"})
 
+        # deep listen backlog: bursts of concurrent connections must queue,
+        # not get RST (the stdlib default backlog of 5 drops load spikes)
+        ThreadingHTTPServer.request_queue_size = 128
         self.httpd = ThreadingHTTPServer((host, port), Handler)
 
     @property
