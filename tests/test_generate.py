@@ -129,3 +129,26 @@ def test_num_steps_caps_decode():
     np.testing.assert_array_equal(np.asarray(toks_cap)[:, :3], np.asarray(toks_full)[:, :3])
     assert (np.asarray(toks_cap)[:, 3:] == 257).all()
     assert int(lens_cap[0]) <= 4
+
+
+def test_engine_odd_batch_sizes_bucketed():
+    """Request batches pad to power-of-two buckets; outputs slice back."""
+    import os
+
+    from llm_speech_summarization_tpu.configs import load_config
+    from llm_speech_summarization_tpu.infer import LLMSpeechTextInference
+
+    yaml = os.path.join(os.path.dirname(__file__), "..",
+                        "llm_speech_summarization_tpu", "configs", "yaml",
+                        "tiny_test.yaml")
+    eng = LLMSpeechTextInference(load_config(yaml))
+    rng = np.random.RandomState(2)
+    audios = [(0.05 * rng.randn(8000 + 1000 * i)).astype(np.float32) for i in range(3)]
+    out3 = eng.generate_audio_response_batch(audios, max_new_tokens=8)
+    assert len(out3) == 3
+    # odd text batch too
+    outs = eng.generate_text_response_batch(["a", "bb", "ccc", "dd", "e"], max_new_tokens=8)
+    assert len(outs) == 5
+    # bucketing must not change per-sample results
+    single = eng.generate_audio_response(audios[1], max_new_tokens=8)
+    assert out3[1] == single
