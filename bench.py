@@ -6,18 +6,29 @@ prefill + KV-cache greedy decode of 64 tokens, batched over 128 utterances of
 10 s each. Random-init weights (no egress in this environment); throughput
 is weight-independent.
 
+Fault tolerance (VERDICT r1 #2): the shared tunneled chip's worker process
+can crash mid-run ("kernel fault"). Each attempt rebuilds the engine from
+scratch; after ATTEMPTS_WITH_FLASH failed attempts the Pallas encoder
+attention is gated off (LSS_ENCODER_FLASH=0) to isolate the suspect kernel.
+The JSON line is emitted as long as ONE timed round completed, and reports
+the median (not best-ever) across completed rounds.
+
 Baseline note: the reference publishes NO numbers (BASELINE.md). The
 vs_baseline denominator is a documented estimate of the reference's
 single-GPU (A100, fp16, bs=1, HF eager generate) rate on the same
 workload: ~35 tok/s decode → ~1.9 s/utterance → ~0.53 utt/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import statistics
+import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -27,34 +38,73 @@ BATCH = 128
 AUDIO_SECONDS = 10.0
 MAX_NEW_TOKENS = 64
 ROUNDS = 3
+MAX_ATTEMPTS = 4
+ATTEMPTS_WITH_FLASH = 2  # after this many failures, gate off encoder flash
 
 
-def main():
-    import jax
+def _run_attempt(audios, rounds_needed):
+    """Build a fresh engine and time up to ``rounds_needed`` rounds.
 
+    Returns (times, error): times collected before any fault (possibly
+    partial), error is None on full success. A worker crash invalidates all
+    device state, so the engine is rebuilt per attempt, never reused.
+    """
     from llm_speech_summarization_tpu.configs import load_config
     from llm_speech_summarization_tpu.infer.engine import LLMSpeechTextInference
 
-    cfg = load_config("llm_speech_summarization_tpu/configs/yaml/llama3_hubert.yaml")
-    engine = LLMSpeechTextInference(cfg)
+    times = []
+    try:
+        cfg = load_config("llm_speech_summarization_tpu/configs/yaml/llama3_hubert.yaml")
+        engine = LLMSpeechTextInference(cfg)
+        # warmup (compile)
+        engine.generate_audio_response_batch(audios, max_new_tokens=MAX_NEW_TOKENS)
+        for _ in range(rounds_needed):
+            t0 = time.perf_counter()
+            engine.generate_audio_response_batch(audios, max_new_tokens=MAX_NEW_TOKENS)
+            times.append(time.perf_counter() - t0)
+        return times, None
+    except Exception as e:  # noqa: BLE001 — worker faults surface as many types
+        traceback.print_exc(file=sys.stderr)
+        return times, e
 
+
+def main():
     rng = np.random.RandomState(0)
-    sr = cfg.audio.sampling_rate
+    sr = 16000
     audios = [
         (0.1 * rng.randn(int(AUDIO_SECONDS * sr))).astype(np.float32) for _ in range(BATCH)
     ]
 
-    # warmup (compile)
-    engine.generate_audio_response_batch(audios, max_new_tokens=MAX_NEW_TOKENS)
-
     times = []
-    for _ in range(ROUNDS):
-        t0 = time.perf_counter()
-        engine.generate_audio_response_batch(audios, max_new_tokens=MAX_NEW_TOKENS)
-        times.append(time.perf_counter() - t0)
+    encoder_flash = os.environ.get("LSS_ENCODER_FLASH", "1") != "0"
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        if attempt > ATTEMPTS_WITH_FLASH and encoder_flash:
+            print(
+                f"[bench] attempt {attempt}: gating off Pallas encoder attention "
+                "(LSS_ENCODER_FLASH=0) to isolate suspected kernel fault",
+                file=sys.stderr,
+            )
+            os.environ["LSS_ENCODER_FLASH"] = "0"
+            encoder_flash = False
+        got, err = _run_attempt(audios, ROUNDS - len(times))
+        times.extend(got)
+        if err is None and len(times) >= ROUNDS:
+            break
+        if len(times) >= 1 and attempt == MAX_ATTEMPTS:
+            break
+        print(
+            f"[bench] attempt {attempt} failed after {len(got)} round(s): {err!r}; "
+            f"retrying in {5 * attempt}s",
+            file=sys.stderr,
+        )
+        time.sleep(5 * attempt)
 
-    best = min(times)
-    utt_per_s = BATCH / best
+    if not times:
+        print("[bench] all attempts failed, no timed round completed", file=sys.stderr)
+        sys.exit(1)
+
+    med = statistics.median(times)
+    utt_per_s = BATCH / med
     print(
         json.dumps(
             {
@@ -62,6 +112,8 @@ def main():
                 "value": round(utt_per_s, 3),
                 "unit": "utt/s",
                 "vs_baseline": round(utt_per_s / BASELINE_UTT_PER_S, 2),
+                "rounds_completed": len(times),
+                "encoder_flash": encoder_flash,
             }
         )
     )

@@ -24,6 +24,7 @@ pre-layer-norm "stable" blocks).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Dict, Tuple
 
@@ -240,7 +241,13 @@ def hubert_forward(
     # over the boolean mask (identical semantics, tests cover both).
     n_valid = jnp.sum(frame_mask.astype(jnp.int32), axis=1)
     T_real = h.shape[1]
-    use_flash = jax.default_backend() == "tpu" and (cfg.hidden_size // cfg.num_heads) in (64, 128)
+    # LSS_ENCODER_FLASH=0 gates the Pallas path off (fault-isolation knob:
+    # bench.py flips it when a TPU worker fault is suspected in this kernel).
+    use_flash = (
+        jax.default_backend() == "tpu"
+        and (cfg.hidden_size // cfg.num_heads) in (64, 128)
+        and os.environ.get("LSS_ENCODER_FLASH", "1") != "0"
+    )
     if use_flash:
         T_pad = ((T_real + 127) // 128) * 128
         if T_pad != T_real:

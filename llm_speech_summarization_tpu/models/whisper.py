@@ -23,6 +23,7 @@ instead).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import lru_cache
 from typing import Any, Dict, Tuple
@@ -244,7 +245,12 @@ def whisper_forward(
     # TPU: pad frames to a flash-tileable length, run the Pallas kernel
     # with [0, n_valid) windows (same trick as hubert_forward)
     T_real = T
-    use_flash = jax.default_backend() == "tpu" and (cfg.d_model // cfg.num_heads) in (64, 128)
+    # Same fault-isolation knob as hubert.py: LSS_ENCODER_FLASH=0 → XLA path.
+    use_flash = (
+        jax.default_backend() == "tpu"
+        and (cfg.d_model // cfg.num_heads) in (64, 128)
+        and os.environ.get("LSS_ENCODER_FLASH", "1") != "0"
+    )
     if use_flash:
         T = ((T_real + 127) // 128) * 128
         if T != T_real:
