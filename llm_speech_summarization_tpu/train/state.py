@@ -29,21 +29,28 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-def make_optimizer(cfg: Config, total_opt_steps: int) -> optax.GradientTransformation:
+def make_schedule(cfg: Config, total_opt_steps: int) -> optax.Schedule:
+    """The LR schedule — single source of truth for both the optimizer and
+    the logged learning rate (round 1 logged pure linear decay even under
+    warmup-cosine, so the TensorBoard curve lied for warmup configs)."""
     opt_cfg = cfg.train.optimizer
     if opt_cfg.warmup_steps > 0:
-        schedule = optax.warmup_cosine_decay_schedule(
+        return optax.warmup_cosine_decay_schedule(
             init_value=0.0,
             peak_value=opt_cfg.lr,
             warmup_steps=opt_cfg.warmup_steps,
             decay_steps=max(total_opt_steps, opt_cfg.warmup_steps + 1),
             end_value=0.0,
         )
-    else:
-        # reference PolynomialLR(power=1.0): lr(t) = lr0 * (1 - t/total)
-        schedule = optax.linear_schedule(
-            init_value=opt_cfg.lr, end_value=0.0, transition_steps=max(total_opt_steps, 1)
-        )
+    # reference PolynomialLR(power=1.0): lr(t) = lr0 * (1 - t/total)
+    return optax.linear_schedule(
+        init_value=opt_cfg.lr, end_value=0.0, transition_steps=max(total_opt_steps, 1)
+    )
+
+
+def make_optimizer(cfg: Config, total_opt_steps: int) -> optax.GradientTransformation:
+    opt_cfg = cfg.train.optimizer
+    schedule = make_schedule(cfg, total_opt_steps)
     tx_parts = []
     if opt_cfg.grad_clip_norm is not None:
         tx_parts.append(optax.clip_by_global_norm(opt_cfg.grad_clip_norm))
@@ -68,7 +75,6 @@ def make_train_state(cfg: Config, enc_params, total_opt_steps: int) -> tuple[Tra
 
 
 def lr_at(cfg: Config, total_opt_steps: int, step: int) -> float:
-    """Current learning rate (for logging parity, reference: trainer.py:391)."""
-    opt_cfg = cfg.train.optimizer
-    frac = min(step / max(total_opt_steps, 1), 1.0)
-    return float(opt_cfg.lr * (1.0 - frac))
+    """Current learning rate (for logging parity, reference: trainer.py:391).
+    Evaluates the SAME schedule the optimizer runs."""
+    return float(make_schedule(cfg, total_opt_steps)(min(step, total_opt_steps)))

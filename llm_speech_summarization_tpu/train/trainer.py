@@ -90,7 +90,8 @@ class Trainer:
 
         # optimizer + state
         tcfg = config.train
-        steps_per_epoch = max(len(self.train_ds) // tcfg.batch_size, 1)
+        # ceil: the tail of each epoch is a (smaller) real batch
+        steps_per_epoch = max(-(-len(self.train_ds) // tcfg.batch_size), 1)
         total_opt_steps = tcfg.epochs * steps_per_epoch // max(tcfg.grad_accum_interval, 1)
         self.total_opt_steps = max(total_opt_steps, 1)
         self.state, self.tx = make_train_state(config, enc_params, self.total_opt_steps)
@@ -186,7 +187,10 @@ class Trainer:
                 max_pool_ranges=max_ranges,
             )
 
-        starts = list(range(0, len(idx) - batch_size + 1, batch_size))
+        # process ALL samples like the reference (trainer.py:237-248): the
+        # tail yields one smaller batch — at most one extra compile per
+        # (dataset, batch_size) since the tail size is fixed across epochs
+        starts = list(range(0, len(idx), batch_size))
         workers = max(self.config.train.num_workers, 1)
         if workers <= 1 or len(starts) <= 1:
             for i in starts:
@@ -231,35 +235,39 @@ class Trainer:
         except ValueError:  # not in main thread
             prev_handler = None
 
-        for epoch in range(self.start_epoch, self.start_epoch + tcfg.epochs):
-            print(f"Epoch {epoch}")
-            t0 = time.time()
-            for batch in self._batches(self.train_ds, tcfg.batch_size, True, cfg.seed_everything + epoch):
-                step_fn = self._get_train_step(batch.wav.shape[1])
-                self.state, metrics = step_fn(self.state, self.llm_params, batch)
-                self.step += 1
+        try:
+            for epoch in range(self.start_epoch, self.start_epoch + tcfg.epochs):
+                print(f"Epoch {epoch}")
+                t0 = time.time()
+                for batch in self._batches(self.train_ds, tcfg.batch_size, True, cfg.seed_everything + epoch):
+                    step_fn = self._get_train_step(batch.wav.shape[1])
+                    self.state, metrics = step_fn(self.state, self.llm_params, batch)
+                    self.step += 1
 
-                if self.step % log_int == 0:
-                    host = {k: float(v) for k, v in metrics.items()}
-                    host["step_time_s"] = (time.time() - t0) / log_int
-                    t0 = time.time()
-                    self.writer.log_training(host, self.step)
-                    self.writer.log_lr(
-                        lr_at(cfg, self.total_opt_steps, self.step // max(tcfg.grad_accum_interval, 1)),
-                        self.step,
-                    )
-                if val_int and self.step % val_int == 0:
-                    self.validate(epoch)
-                if self._stop_requested:
-                    print("SIGTERM received: checkpointing and stopping")
-                    ckpt.save_train_checkpoint(self.checkpoint_dir, self.step, epoch, self.state)
-                    return
-                if max_steps is not None and self.step >= max_steps:
-                    self.validate(epoch)
-                    return
-            self.validate(epoch)
-        if prev_handler is not None:
-            signal.signal(signal.SIGTERM, prev_handler)
+                    if self.step % log_int == 0:
+                        host = {k: float(v) for k, v in metrics.items()}
+                        host["step_time_s"] = (time.time() - t0) / log_int
+                        t0 = time.time()
+                        self.writer.log_training(host, self.step)
+                        self.writer.log_lr(
+                            lr_at(cfg, self.total_opt_steps, self.step // max(tcfg.grad_accum_interval, 1)),
+                            self.step,
+                        )
+                    if val_int and self.step % val_int == 0:
+                        self.validate(epoch)
+                    if self._stop_requested:
+                        print("SIGTERM received: checkpointing and stopping")
+                        ckpt.save_train_checkpoint(self.checkpoint_dir, self.step, epoch, self.state)
+                        return
+                    if max_steps is not None and self.step >= max_steps:
+                        self.validate(epoch)
+                        return
+                self.validate(epoch)
+        finally:
+            # restored on EVERY exit path (round 1 leaked the handler on
+            # max-steps and SIGTERM returns)
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
 
     # ------------------------------------------------------------------
 
@@ -269,17 +277,19 @@ class Trainer:
         cfg = self.config
         audio_nlls: List[float] = []
         text_nlls: List[float] = []
+        weights: List[int] = []
         val_bs = min(cfg.train.batch_size, 8)
         for batch in self._batches(self.val_ds, val_bs, False, 0):
             eval_fn = self._get_eval_step(batch.wav.shape[1])
             a_nll, t_nll = eval_fn(self.state.enc_params, self.llm_params, batch)
             audio_nlls.append(float(a_nll))
             text_nlls.append(float(t_nll))
+            weights.append(batch.wav.shape[0])  # tail batch is smaller
             self.writer.log_validation(float(a_nll), self.step)
 
         if audio_nlls:
-            audio_ppl = float(np.exp(np.mean(audio_nlls)))
-            text_ppl = float(np.exp(np.mean(text_nlls)))
+            audio_ppl = float(np.exp(np.average(audio_nlls, weights=weights)))
+            text_ppl = float(np.exp(np.average(text_nlls, weights=weights)))
             self.writer.log_validation_perplexity(audio_ppl, text_ppl, self.step)
             print(f"[val] step {self.step}: audio_ppl={audio_ppl:.3f} text_ppl={text_ppl:.3f}")
 
