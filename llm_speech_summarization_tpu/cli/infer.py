@@ -27,7 +27,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from ..configs import load_config
-    from ..data.audio_io import load_wav
+    from ..data.audio_io import load_audio
     from ..infer.engine import LLMSpeechTextInference
 
     config = load_config(args.config)
@@ -35,7 +35,7 @@ def main(argv=None):
         config, audio_encoder_checkpoint=args.audio_encoder_checkpoint
     )
 
-    audio = load_wav(args.audio_file, target_sr=config.audio.sampling_rate)
+    audio = load_audio(args.audio_file, target_sr=config.audio.sampling_rate)
     response = engine.generate_audio_response(
         audio,
         additional_text_prompt=args.text,

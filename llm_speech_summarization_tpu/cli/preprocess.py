@@ -5,12 +5,14 @@ preprocess_data/preprocess_llama3.py (Llama-3) __main__ blocks with
 hardcoded paths/GPU (reference: preprocess.py:25,56). Here: one CLI, any
 config, paths as flags.
 
-Raw input: either an HF dataset on disk with {audio, text} columns
-(LibriSpeech-style) or --synthetic N for fixture generation.
+Raw input: an HF dataset on disk with {audio, text} columns, a raw
+LibriSpeech-style directory tree (*.flac / *.wav next to *.trans.txt files,
+the format LibriSpeech actually ships — decoded by the from-scratch FLAC
+frontend), or --synthetic N for fixture generation.
 
 Usage:
   python -m llm_speech_summarization_tpu.cli.preprocess -c <yaml> \
-      --input <hf_dataset_dir> --output <out_dir> [--ctc]
+      --input <hf_dataset_dir | librispeech_dir> --output <out_dir> [--ctc]
 """
 
 from __future__ import annotations
@@ -46,16 +48,22 @@ def main(argv=None):
         examples = [{"audio": ds[i]["audio"], "text": ds[i]["text"]} for i in range(len(ds))]
     else:
         assert args.input, "--input or --synthetic required"
-        from datasets import load_from_disk
+        from ..data.datasets import load_librispeech_dir
 
-        raw = load_from_disk(args.input)
-        n = len(raw) if args.limit is None else min(args.limit, len(raw))
-        examples = []
-        for i in range(n):
-            row = raw[i]
-            audio = row["audio"]
-            wav = np.asarray(audio["array"] if isinstance(audio, dict) else audio, np.float32)
-            examples.append({"audio": wav, "text": row["text"]})
+        examples = load_librispeech_dir(
+            args.input, target_sr=config.audio.sampling_rate, limit=args.limit
+        )
+        if examples is None:  # not a raw audio tree → HF dataset on disk
+            from datasets import load_from_disk
+
+            raw = load_from_disk(args.input)
+            n = len(raw) if args.limit is None else min(args.limit, len(raw))
+            examples = []
+            for i in range(n):
+                row = raw[i]
+                audio = row["audio"]
+                wav = np.asarray(audio["array"] if isinstance(audio, dict) else audio, np.float32)
+                examples.append({"audio": wav, "text": row["text"]})
 
     rows = preprocess_examples(
         examples,

@@ -159,3 +159,48 @@ def load_training_datasets(cfg: Config, tokenizer: Tokenizer):
     train = HFDiskDataset(cfg.data.base_path, list(cfg.data.train_set))
     val = HFDiskDataset(cfg.data.base_path, list(cfg.data.val_set))
     return train, val
+
+
+def load_librispeech_dir(path: str, target_sr: int = 16000, limit=None):
+    """Ingest a raw LibriSpeech-style directory tree: ``*.flac`` / ``*.wav``
+    utterances next to ``*.trans.txt`` transcript files whose lines are
+    ``<utt-id> <TRANSCRIPT>``. Returns a list of {audio, text} examples, or
+    None if the tree contains no audio files (caller falls back to HF-disk).
+
+    The reference gets LibriSpeech pre-decoded through the HF hub
+    (reference: preprocess_data/preprocess.py:25); this reads the archive
+    format LibriSpeech actually ships, decoding FLAC with the from-scratch
+    frontend (native/audio/flac_decoder.cc).
+    """
+    import os
+
+    from .audio_io import load_audio
+
+    audio_paths = {}
+    transcripts = {}
+    for root, _, files in os.walk(path):
+        for fname in sorted(files):
+            stem, ext = os.path.splitext(fname)
+            full = os.path.join(root, fname)
+            if ext.lower() in (".flac", ".wav"):
+                audio_paths[stem] = full
+            elif fname.endswith(".trans.txt"):
+                with open(full, encoding="utf-8") as f:
+                    for line in f:
+                        utt, _, text = line.strip().partition(" ")
+                        if utt:
+                            transcripts[utt] = text
+    if not audio_paths:
+        return None
+
+    examples = []
+    for utt in sorted(audio_paths):
+        if limit is not None and len(examples) >= limit:
+            break
+        text = transcripts.get(utt)
+        if text is None:
+            continue  # reference pairs audio with its transcript; skip orphans
+        examples.append(
+            {"audio": load_audio(audio_paths[utt], target_sr), "text": text}
+        )
+    return examples

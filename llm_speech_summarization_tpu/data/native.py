@@ -51,6 +51,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.flac_info.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.flac_info.restype = ctypes.c_int
+        lib.flac_decode_f32_mono.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
+        lib.flac_decode_f32_mono.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _lib = None
@@ -128,3 +139,48 @@ def pad_batch(clips: list, n_out: int) -> tuple:
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out, lens
+
+
+def flac_info(data: bytes):
+    """(total_samples, sample_rate, channels, bps) from a FLAC stream."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "flac_info"):
+        from .flac import parse_streaminfo
+
+        si = parse_streaminfo(data)
+        return si.total_samples, si.sample_rate, si.channels, si.bps
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    total = ctypes.c_int64()
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    bps = ctypes.c_int()
+    rc = lib.flac_info(buf, len(data), ctypes.byref(total), ctypes.byref(sr),
+                       ctypes.byref(ch), ctypes.byref(bps))
+    if rc != 0:
+        raise ValueError("malformed FLAC stream")
+    return total.value, sr.value, ch.value, bps.value
+
+
+def flac_decode(data: bytes) -> tuple:
+    """FLAC bytes → (float32 mono samples, sample_rate). Native decoder with
+    pure-Python fallback (data/flac.py)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "flac_decode_f32_mono"):
+        from .flac import decode_f32_mono, parse_streaminfo
+
+        si = parse_streaminfo(data)
+        return decode_f32_mono(data), si.sample_rate
+    total, sr, _, _ = flac_info(data)
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    if total == 0:
+        # STREAMINFO may omit the length: sizing pass first
+        total = lib.flac_decode_f32_mono(buf, len(data), None, 0)
+        if total < 0:
+            raise ValueError("malformed FLAC stream")
+    out = np.empty(int(total), np.float32)
+    n = lib.flac_decode_f32_mono(
+        buf, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(out)
+    )
+    if n < 0:
+        raise ValueError("malformed FLAC stream (frame decode/CRC)")
+    return out[:n], sr
