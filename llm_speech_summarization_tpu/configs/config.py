@@ -50,6 +50,10 @@ class ModelConfig:
     param_dtype: str = "bfloat16"  # LLM (frozen) parameter dtype
     compute_dtype: str = "bfloat16"  # activations; reference used fp16 AMP
     kv_cache_dtype: Optional[str] = None  # None → compute_dtype; "int8" halves decode KV traffic
+    # Serving-only weight quantization: "int8" halves the dominant decode HBM
+    # term (weight streaming) via per-channel weight-only quantization +
+    # fused-QKV layout. Ignored by training. None → keep param_dtype.
+    llm_weight_dtype: Optional[str] = None
     llm_checkpoint: Optional[str] = None  # Orbax dir from cli/convert.py llm
     encoder_checkpoint: Optional[str] = None  # Orbax dir (convert.py encoder or export)
 

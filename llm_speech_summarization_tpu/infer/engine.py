@@ -31,7 +31,13 @@ from ..models.audio_encoder import (
     encoder_setup_from_config,
     init_audio_encoder,
 )
-from ..models.llama import LlamaConfig, init_llama_params, llama_preset
+from ..models.llama import (
+    LlamaConfig,
+    fuse_llama_params,
+    init_llama_params,
+    llama_preset,
+    quantize_llama_params,
+)
 from ..ops.splice import concat_mid_buffers, splice_sequences
 from ..utils.prompts import prompt_template_for
 from ..utils.tokenizer import Tokenizer, load_tokenizer
@@ -97,6 +103,14 @@ class LLMSpeechTextInference:
                 {"llm_params": self.llm_params},
             )["llm_params"]
 
+        # Serving-only decode optimizations: fused QKV/gate-up layout plus
+        # weight-only int8 (halves the dominant decode HBM term). Applied
+        # only to trees the engine owns — fuse/quantize DONATE their input,
+        # and caller-owned trees (the Trainer's validate-time engine, which
+        # keeps training in the exact bf16 weights) must stay intact.
+        if config.model.llm_weight_dtype == "int8" and llm_params is None:
+            self.llm_params = quantize_llama_params(fuse_llama_params(self.llm_params))
+
         # Audio encoder (reference: inference.py:23-28)
         self.encoder_setup = encoder_setup_from_config(config)
         self.audio_encoder_params = (
@@ -129,10 +143,25 @@ class LLMSpeechTextInference:
         # as one compiled program per shape bucket (eager dispatch per-op is
         # catastrophic on remote-executed backends)
         self._audio_prompt_fns = {}
+        dtype = self.dtype
+
+        def embed_rows(llm_params, ids):
+            """Token embeddings; with int8-quantized weights, rows are
+            gathered at int8 width and dequantized per row — the full (V, D)
+            table is never materialized in bf16."""
+            t = llm_params["embed_tokens"]
+            e = t[ids].astype(dtype)
+            if t.dtype == jnp.int8:
+                e = e * llm_params["embed_tokens_scale"][ids][..., None].astype(dtype)
+            return e
+
+        self._embed_rows = embed_rows
+        self._concat_wav = jax.jit(
+            lambda *parts: jnp.concatenate(parts, axis=0).astype(dtype)
+        )
         self._text_embed_fn = jax.jit(
             lambda llm_params, ids, mask: (
-                llm_params["embed_tokens"][ids].astype(self.dtype)
-                * mask[..., None].astype(self.dtype)
+                embed_rows(llm_params, ids) * mask[..., None].astype(dtype)
             )
         )
 
@@ -178,21 +207,31 @@ class LLMSpeechTextInference:
         if key not in self._audio_prompt_fns:
             setup = self.encoder_setup
             prefix_ids, suffix_ids, dtype = self.prefix_ids, self.suffix_ids, self.dtype
+            embed_rows = self._embed_rows
+            P = int(prefix_ids.shape[0])
+            S = int(suffix_ids.shape[0])
 
             def fn(enc_params, llm_params, wav, wav_lens, ranges, txt_ids, txt_lens):
                 audio_embeds, emb_lens = audio_encoder_forward(
                     enc_params, setup, wav, wav_lens, ctc_pool_ranges=ranges
                 )
-                table = llm_params["embed_tokens"].astype(dtype)
                 if has_text:
-                    txt_embeds = table[txt_ids]
+                    txt_embeds = embed_rows(llm_params, txt_ids)
                     mid, mid_lens = concat_mid_buffers(
                         txt_embeds, txt_lens, audio_embeds.astype(dtype), emb_lens
                     )
                 else:
                     mid, mid_lens = audio_embeds.astype(dtype), emb_lens
+                # splice only embeds prefix/suffix rows: hand it a (P+S, D)
+                # mini-table of exactly those (dequantized) rows instead of
+                # the (V, D) table, so int8-quantized models never
+                # materialize a full bf16 table
+                mini = embed_rows(llm_params, jnp.concatenate([prefix_ids, suffix_ids]))
                 sp = splice_sequences(
-                    table, prefix_ids, suffix_ids, mid, mid_lens, total_len=total_len
+                    mini,
+                    jnp.arange(P, dtype=jnp.int32),
+                    jnp.arange(P, P + S, dtype=jnp.int32),
+                    mid, mid_lens, total_len=total_len,
                 )
                 return sp.embeds, sp.attn_mask
 
@@ -293,13 +332,39 @@ class LLMSpeechTextInference:
         embeds, mask = prompt_fn(
             self.audio_encoder_params,
             self.llm_params,
-            jnp.asarray(wav, self.dtype),
+            self._transfer_wav(wav),
             jnp.asarray(lens),
             ranges,
             txt_ids,
             txt_lens,
         )
         return self._generate_from_embeds(embeds, mask, max_new_tokens)[:n_real]
+
+    def _transfer_wav(self, wav: np.ndarray, n_chunks: int = 4) -> jnp.ndarray:
+        """Host→device audio upload, chunked over concurrent threads.
+
+        On this environment's tunneled backend a single large device_put
+        moves ~25 MB/s and occasionally stalls; 4 concurrent chunk puts run
+        ~2× faster and bound the per-RPC payload (measured: 41 MB batch
+        1.6 s → 0.8 s). Audio rides the wire as float16 (10 mantissa bits —
+        more than bf16 gives the waveform) and is cast to compute dtype on
+        device. On direct-attached TPUs this is one PCIe burst either way.
+        """
+        B = wav.shape[0]
+        if B < 2 * n_chunks:
+            return jnp.asarray(wav, self.dtype)
+        from concurrent.futures import ThreadPoolExecutor
+
+        wav16 = wav.astype(np.float16)
+        rows = (B + n_chunks - 1) // n_chunks
+        with ThreadPoolExecutor(n_chunks) as ex:
+            parts = list(
+                ex.map(
+                    lambda i: jax.device_put(wav16[i * rows : (i + 1) * rows]),
+                    range(n_chunks),
+                )
+            )
+        return self._concat_wav(*parts)
 
     def _audio_embed_buffer_len(self, num_samples: int, num_ranges=None) -> int:
         key = (num_samples, num_ranges)

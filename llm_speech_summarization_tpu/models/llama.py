@@ -24,6 +24,7 @@ GeneZC/MiniChat-2-3B (a Llama-architecture model) — via presets.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from dataclasses import dataclass
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -32,7 +33,12 @@ import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention, make_attention_bias
 from ..ops.norms import rms_norm
-from ..ops.rope import Llama3RopeScaling, apply_rope, rope_inv_freq
+from ..ops.rope import (
+    Llama3RopeScaling,
+    apply_rope_cached,
+    rope_cos_sin,
+    rope_inv_freq,
+)
 
 Params = Dict[str, Any]
 
@@ -187,13 +193,24 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.bfloat16) -> P
     return params
 
 
+def _mm(h: jnp.ndarray, lp: Params, name: str) -> jnp.ndarray:
+    """h @ lp[name], transparently handling int8 weight-only quantization
+    (quantize_llama_params): the int8→bf16 convert fuses into the matmul so
+    the weight streams from HBM at half width; the per-out-channel scale
+    multiplies the (B, T, Dout) result."""
+    w = lp[name]
+    if w.dtype == jnp.int8:
+        return (h @ w.astype(h.dtype)) * lp[name + "_scale"].astype(h.dtype)
+    return h @ w
+
+
 def _block(
     cfg: LlamaConfig,
     lp: Params,
     x: jnp.ndarray,
-    positions: jnp.ndarray,
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
     attn_args: Tuple[jnp.ndarray, ...],
-    inv_freq: jnp.ndarray,
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     *,
     attn_kind: str,
@@ -216,11 +233,20 @@ def _block(
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     h = rms_norm(x, lp["input_norm"], cfg.rms_eps)
-    q = (h @ lp["wq"]).reshape(B, T, Hq, Dh)
-    k = (h @ lp["wk"]).reshape(B, T, Hkv, Dh)
-    v = (h @ lp["wv"]).reshape(B, T, Hkv, Dh)
-    q = apply_rope(q, positions, inv_freq)
-    k = apply_rope(k, positions, inv_freq)
+    if "wqkv" in lp:
+        # decode-optimized fused projection (fuse_llama_params): one matmul
+        # streams all three weights — fewer kernel dispatches in the layer
+        # scan, where the decode loop's fixed costs live
+        qkv = _mm(h, lp, "wqkv")
+        q = qkv[..., : Hq * Dh].reshape(B, T, Hq, Dh)
+        k = qkv[..., Hq * Dh : (Hq + Hkv) * Dh].reshape(B, T, Hkv, Dh)
+        v = qkv[..., (Hq + Hkv) * Dh :].reshape(B, T, Hkv, Dh)
+    else:
+        q = _mm(h, lp, "wq").reshape(B, T, Hq, Dh)
+        k = _mm(h, lp, "wk").reshape(B, T, Hkv, Dh)
+        v = _mm(h, lp, "wv").reshape(B, T, Hkv, Dh)
+    q = apply_rope_cached(q, rope_cos, rope_sin)
+    k = apply_rope_cached(k, rope_cos, rope_sin)
 
     if attn_kind == "bias":
         attn = dot_product_attention(q, k, v, attn_args[0])
@@ -297,12 +323,17 @@ def _block(
     else:
         raise ValueError(f"unknown attn kind {attn_kind}")
 
-    x = x + attn.reshape(B, T, Hq * Dh) @ lp["wo"]
+    x = x + _mm(attn.reshape(B, T, Hq * Dh), lp, "wo")
 
     h = rms_norm(x, lp["post_attn_norm"], cfg.rms_eps)
-    gate = jax.nn.silu(h @ lp["w_gate"])
-    up = h @ lp["w_up"]
-    x = x + (gate * up) @ lp["w_down"]
+    if "w_gateup" in lp:
+        I = lp["w_down"].shape[-2]
+        gu = _mm(h, lp, "w_gateup")
+        gate, up = jax.nn.silu(gu[..., :I]), gu[..., I:]
+    else:
+        gate = jax.nn.silu(_mm(h, lp, "w_gate"))
+        up = _mm(h, lp, "w_up")
+    x = x + _mm(gate * up, lp, "w_down")
     return x, (k, v)
 
 
@@ -326,6 +357,7 @@ def llama_forward(
     return_final_hidden: bool = False,
     remat: bool = False,
     attn_impl: str = "auto",
+    scan_unroll: int = 1,
 ) -> LlamaOutput:
     """Run the decoder.
 
@@ -355,7 +387,12 @@ def llama_forward(
     """
     if inputs_embeds is None:
         assert input_ids is not None
-        inputs_embeds = params["embed_tokens"][input_ids]
+        table = params["embed_tokens"]
+        if table.dtype == jnp.int8:  # weight-only quantized (per-vocab-row)
+            scale = params["embed_tokens_scale"][input_ids]
+            inputs_embeds = table[input_ids].astype(scale.dtype) * scale[..., None]
+        else:
+            inputs_embeds = table[input_ids]
     x = inputs_embeds
     B, T, D = x.shape
 
@@ -366,6 +403,11 @@ def llama_forward(
         positions = jnp.maximum(jnp.cumsum(attn_mask.astype(jnp.int32), axis=1) - 1, 0)
 
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    if positions.ndim == 1:
+        positions = positions[None, :]
+    # rope tables are layer-invariant: computed ONCE here, not in each of
+    # the 28 scanned blocks (cos/sin fusions were a real decode-loop term)
+    rope_cos, rope_sin = rope_cos_sin(positions, inv_freq)
 
     if attn_impl == "auto":
         use_pallas = jax.default_backend() == "tpu" and cfg.head_dim % 128 == 0
@@ -433,7 +475,7 @@ def llama_forward(
             lp, cache_kv = layer_in
         else:
             lp, cache_kv = layer_in, None
-        out, kv_new = block(cfg, lp, h, positions, attn_args, inv_freq, cache_kv)
+        out, kv_new = block(cfg, lp, h, rope_cos, rope_sin, attn_args, cache_kv)
         if return_hidden:
             hs = out[:, -hidden_window:] if hidden_window > 0 else out
         else:
@@ -443,7 +485,7 @@ def llama_forward(
         return out, (hs, kv_new)
 
     if kv_cache is None:
-        x, hidden_stack = jax.lax.scan(scan_body, x, params["layers"])
+        x, hidden_stack = jax.lax.scan(scan_body, x, params["layers"], unroll=scan_unroll)
         new_kv = None
     else:
         if is_decode:
@@ -455,7 +497,7 @@ def llama_forward(
             xs = (params["layers"], cache_xs)
         else:
             xs = params["layers"]
-        x, ys = jax.lax.scan(scan_body, x, xs)
+        x, ys = jax.lax.scan(scan_body, x, xs, unroll=scan_unroll)
         hidden_stack, (k_new, v_new) = ys  # k_new/v_new: (L, B, T, Hkv, Dh)
         # cache layout (L, B, Hkv, S, Dh): one O(L·B·T) in-place write
         # instead of O(L·B·S) per-layer copies
@@ -506,6 +548,13 @@ def llama_forward(
         logits = jnp.einsum(
             "btd,dv->btv", x, head.astype(x.dtype), preferred_element_type=jnp.float32
         )
+        if head.dtype == jnp.int8:  # per-vocab scale multiplies the logits
+            hs = (
+                params["embed_tokens_scale"]
+                if cfg.tie_embeddings
+                else params["lm_head_scale"]
+            )
+            logits = logits * hs.astype(jnp.float32)
 
     return LlamaOutput(
         logits=logits,
@@ -513,6 +562,64 @@ def llama_forward(
         kv_cache=new_kv,
         final_hidden=final_hidden,
     )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def fuse_llama_params(params: Params) -> Params:
+    """Decode-optimized parameter layout: wq/wk/wv concatenated into one
+    ``wqkv`` and w_gate/w_up into ``w_gateup``, replacing the originals (same
+    total HBM; the input tree is DONATED — callers must drop their reference,
+    a 3B model cannot hold both copies on one chip). _block detects the fused
+    names; numerics are identical
+    (tests/test_hf_parity.py::test_fused_params_identical). The training
+    path keeps the standard layout — optimizer state and converters
+    (models/convert.py) never see fused trees."""
+    layers = dict(params["layers"])
+    layers["wqkv"] = jnp.concatenate(
+        [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=-1
+    )
+    layers["w_gateup"] = jnp.concatenate(
+        [layers.pop("w_gate"), layers.pop("w_up")], axis=-1
+    )
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def quantize_llama_params(params: Params) -> Params:
+    """Weight-only int8 quantization for serving (per-out-channel symmetric
+    absmax; embedding table per-vocab-row). Halves the dominant decode HBM
+    term — the 6.4 GB bf16 weight stream — to 3.2 GB; the int8→bf16 convert
+    fuses into each matmul (same mechanism as the int8 KV cache). Standard
+    TPU-serving practice; the reference serves fp16 with no quantized
+    option (reference: inference.py:24-27). Input tree is DONATED.
+
+    Composes with fuse_llama_params (fuse first, then quantize)."""
+
+    def q(w, axis):
+        absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
+        scale = jnp.maximum(absmax / 127.0, 1e-12)
+        qw = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+        return qw.astype(jnp.int8), jnp.squeeze(scale, axis).astype(jnp.bfloat16)
+
+    layers = dict(params["layers"])
+    for name in ("wqkv", "wq", "wk", "wv", "wo", "w_gateup", "w_gate", "w_up", "w_down"):
+        if name in layers:
+            # (L, Din, Dout) → scale per (L, Dout)
+            qw, s = q(layers[name], axis=1)
+            layers[name] = qw
+            layers[name + "_scale"] = s
+    out = dict(params)
+    out["layers"] = layers
+    qe, se = q(params["embed_tokens"], axis=1)  # (V, D) → per-row (V,)
+    out["embed_tokens"] = qe
+    out["embed_tokens_scale"] = se
+    if "lm_head" in params:
+        qh, sh = q(params["lm_head"], axis=0)  # (D, V) → per-column (V,)
+        out["lm_head"] = qh
+        out["lm_head_scale"] = sh
+    return out
 
 
 def config_to_dict(cfg: LlamaConfig) -> dict:

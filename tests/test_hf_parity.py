@@ -297,3 +297,57 @@ def test_convert_cli_roundtrip(tmp_path):
         llama_forward(eng.llm_params, eng.llm_cfg, input_ids=jnp.asarray(ids)).logits
     )
     np.testing.assert_allclose(ours, hf_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_params_identical():
+    """fuse_llama_params (decode-optimized QKV/gate-up concat) must be
+    numerically IDENTICAL to the standard layout."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llm_speech_summarization_tpu.models.llama import (
+        fuse_llama_params,
+        init_llama_params,
+        llama_forward,
+        llama_preset,
+    )
+
+    cfg = llama_preset("tiny")
+    p = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 512, (2, 16)), jnp.int32)
+    ref = llama_forward(p, cfg, input_ids=ids).logits
+    fused = fuse_llama_params(jax.tree_util.tree_map(jnp.copy, p))
+    got = llama_forward(fused, cfg, input_ids=ids).logits
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_quantized_params_close_and_same_greedy():
+    """Weight-only int8 (serving mode) stays within ~1% of bf16 logits and
+    picks the same greedy tokens on a random batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llm_speech_summarization_tpu.models.llama import (
+        fuse_llama_params,
+        init_llama_params,
+        llama_forward,
+        llama_preset,
+        quantize_llama_params,
+    )
+
+    cfg = llama_preset("tiny")
+    p = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16),
+        init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32),
+    )
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 512, (2, 16)), jnp.int32)
+    ref = llama_forward(p, cfg, input_ids=ids).logits
+    q = quantize_llama_params(fuse_llama_params(jax.tree_util.tree_map(jnp.copy, p)))
+    got = llama_forward(q, cfg, input_ids=ids).logits
+    rel = float(jnp.max(jnp.abs(ref - got)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert rel < 0.05, rel
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(ref, -1)), np.asarray(jnp.argmax(got, -1))
+    )
