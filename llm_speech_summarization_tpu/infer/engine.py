@@ -245,14 +245,10 @@ class LLMSpeechTextInference:
     def generate_text_response(self, input_text: str, max_new_tokens: int = 256) -> str:
         return self.generate_text_response_batch([input_text], max_new_tokens)[0]
 
-    def generate_text_response_batch(
-        self, input_texts: Sequence[str], max_new_tokens: int = 256
-    ) -> List[str]:
-        """Text-prompted generation (reference: inference.py:76-93), batched.
-
-        The full templated prompt is tokenized and embedded directly — no
-        splicing — exactly like the reference's f"{prefix} {text}{suffix} ".
-        """
+    def build_text_prompt_batch(self, input_texts: Sequence[str]):
+        """Templated text prompts → left-padded (B, L, D) embeds + mask
+        (B power-of-two padded, L bucket-rounded). Shared by the one-shot
+        generate path and the continuous batcher (serve/)."""
         n_real = len(input_texts)
         ids_list = [
             self.tokenizer.encode(self.template.full_text_prompt(t), add_bos=True)
@@ -267,8 +263,19 @@ class LLMSpeechTextInference:
             ids[b, L - len(row):] = row
             mask[b, L - len(row):] = True
         embeds = self._text_embed_fn(self.llm_params, jnp.asarray(ids), jnp.asarray(mask))
-        out = self._generate_from_embeds(embeds, jnp.asarray(mask), max_new_tokens)
-        return out[:n_real]
+        return embeds, jnp.asarray(mask)
+
+    def generate_text_response_batch(
+        self, input_texts: Sequence[str], max_new_tokens: int = 256
+    ) -> List[str]:
+        """Text-prompted generation (reference: inference.py:76-93), batched.
+
+        The full templated prompt is tokenized and embedded directly — no
+        splicing — exactly like the reference's f"{prefix} {text}{suffix} ".
+        """
+        embeds, mask = self.build_text_prompt_batch(input_texts)
+        out = self._generate_from_embeds(embeds, mask, max_new_tokens)
+        return out[: len(input_texts)]
 
     def generate_audio_response(
         self,
@@ -293,6 +300,19 @@ class LLMSpeechTextInference:
     ) -> List[str]:
         """Audio(+text)-prompted generation (reference: inference.py:95-137),
         batched over utterances of different lengths."""
+        embeds, mask = self.build_audio_prompt_batch(
+            audios, additional_text_prompt, ctc_pool_ranges
+        )
+        return self._generate_from_embeds(embeds, mask, max_new_tokens)[: len(audios)]
+
+    def build_audio_prompt_batch(
+        self,
+        audios: Sequence[np.ndarray],
+        additional_text_prompt: str = "",
+        ctc_pool_ranges: Optional[Sequence[np.ndarray]] = None,
+    ):
+        """Audio(+text) prompts → spliced left-padded (B, L, D) embeds +
+        mask, B power-of-two padded, L bucket-rounded."""
         n_real = len(audios)
         B = _pad_batch(n_real)
         audios = list(audios) + [audios[0]] * (B - n_real)
@@ -329,7 +349,7 @@ class LLMSpeechTextInference:
         total_len = _round_up(P + M + txt_ids.shape[1] + S, self.bucket)
 
         prompt_fn = self._audio_prompt_fn(has_text, total_len)
-        embeds, mask = prompt_fn(
+        return prompt_fn(
             self.audio_encoder_params,
             self.llm_params,
             self._transfer_wav(wav),
@@ -338,7 +358,6 @@ class LLMSpeechTextInference:
             txt_ids,
             txt_lens,
         )
-        return self._generate_from_embeds(embeds, mask, max_new_tokens)[:n_real]
 
     def _transfer_wav(self, wav: np.ndarray, n_chunks: int = 4) -> jnp.ndarray:
         """Host→device audio upload, chunked over concurrent threads.

@@ -1,0 +1,218 @@
+"""Slot-based continuous batching decoder.
+
+The reference serves one file per process (reference: inference.py:140-178)
+and round 1's serving batcher was request-level: a batch ran to its full
+token budget before ANY new request could start. This module decouples the
+two phases production-style (vLLM/JetStream-like, TPU-static-shape flavor):
+
+  * a persistent KV cache of N slots lives on device;
+  * ``admit`` prefills new requests as a mini-batch and scatters their
+    K/V rows + state into free slots (one jitted program per
+    (n_new, prompt_bucket));
+  * ``decode_chunk`` advances ALL live slots k steps with PER-ROW cache
+    offsets/windows (one jitted program, reused forever);
+  * between chunks the host harvests finished rows (EOS or budget) and
+    frees their slots — short requests return without waiting for long
+    co-batched ones, and new requests join mid-decode.
+
+Static shapes throughout: the decode program never recompiles; admission
+compiles once per prompt-length bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import KVCache, LlamaConfig, init_kv_cache, llama_forward
+
+
+class SlotState(NamedTuple):
+    cache: KVCache
+    pad_lens: jnp.ndarray  # (N,) int32 — row window start in the cache
+    offsets: jnp.ndarray  # (N,) int32 — next cache slot to write (row depth)
+    last_token: jnp.ndarray  # (N,) int32
+    done: jnp.ndarray  # (N,) bool
+    tokens: jnp.ndarray  # (N, max_new) int32 emitted tokens, eos-padded
+    n_emitted: jnp.ndarray  # (N,) int32
+    budgets: jnp.ndarray  # (N,) int32
+
+
+class SlotDecoder:
+    """Device-resident decode slots over a frozen LLM."""
+
+    def __init__(
+        self,
+        llm_params,
+        cfg: LlamaConfig,
+        eos_id: int,
+        n_slots: int = 32,
+        max_prompt_len: int = 512,
+        max_new_tokens: int = 256,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.params = llm_params
+        self.cfg = cfg
+        self.eos_id = eos_id
+        self.n_slots = n_slots
+        self.max_new = max_new_tokens
+        self.max_len = max_prompt_len + max_new_tokens
+        self.cache_dtype = cache_dtype
+        self.state = self._init_state()
+        self._admit_fns = {}
+        self._chunk_fns = {}
+
+    def _init_state(self) -> SlotState:
+        N = self.n_slots
+        return SlotState(
+            cache=init_kv_cache(self.cfg, N, self.max_len, dtype=self.cache_dtype),
+            pad_lens=jnp.zeros((N,), jnp.int32),
+            offsets=jnp.ones((N,), jnp.int32),  # ≥1 so done rows write slot 0 harmlessly
+            last_token=jnp.full((N,), self.eos_id, jnp.int32),
+            done=jnp.ones((N,), bool),
+            tokens=jnp.full((N, self.max_new), self.eos_id, jnp.int32),
+            n_emitted=jnp.zeros((N,), jnp.int32),
+            budgets=jnp.zeros((N,), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+
+    def free_slots(self) -> List[int]:
+        return [int(i) for i in np.nonzero(np.asarray(self.state.done))[0]]
+
+    def admit(
+        self,
+        embeds: jnp.ndarray,  # (n, T, D) left-padded prompt embeddings
+        mask: jnp.ndarray,  # (n, T) bool
+        slot_ids: List[int],
+        budgets: List[int],
+    ) -> None:
+        n, T, _ = embeds.shape
+        assert T + self.max_new <= self.max_len, (T, self.max_new, self.max_len)
+        fn = self._admit_fn(n, T)
+        self.state = fn(
+            self.params,
+            self.state,
+            embeds,
+            mask,
+            jnp.asarray(slot_ids, jnp.int32),
+            jnp.asarray(np.minimum(budgets, self.max_new), jnp.int32),
+        )
+
+    def decode_chunk(self, k_steps: int = 8) -> None:
+        self.state = self._chunk_fn(k_steps)(self.params, self.state)
+
+    def harvest(self) -> List[Tuple[int, np.ndarray, int]]:
+        """(slot, tokens, n) for every finished row with pending output.
+        Frees the slots (budget→0 marks them reusable)."""
+        done = np.asarray(self.state.done)
+        budgets = np.asarray(self.state.budgets)
+        ready = np.nonzero(done & (budgets > 0))[0]
+        if ready.size == 0:
+            return []
+        tokens = np.asarray(self.state.tokens[ready])
+        counts = np.asarray(self.state.n_emitted[ready])
+        self.state = self.state._replace(
+            budgets=self.state.budgets.at[jnp.asarray(ready)].set(0)
+        )
+        return [(int(s), tokens[i], int(counts[i])) for i, s in enumerate(ready)]
+
+    def live_count(self) -> int:
+        return int(np.sum(~np.asarray(self.state.done)))
+
+    # ------------------------------------------------------------------
+
+    def _admit_fn(self, n: int, T: int):
+        key = (n, T)
+        if key not in self._admit_fns:
+            cfg, eos, max_new = self.cfg, self.eos_id, self.max_new
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def fn(params, state: SlotState, embeds, mask, slot_ids, budgets):
+                tmp = init_kv_cache(cfg, n, T, dtype=self.cache_dtype)
+                out = llama_forward(
+                    params, cfg,
+                    inputs_embeds=embeds, attn_mask=mask,
+                    kv_cache=tmp, cache_offset=jnp.int32(0),
+                    last_logit_only=True,
+                )
+                first = jnp.argmax(out.logits[:, -1], axis=-1).astype(jnp.int32)
+                lens = jnp.sum(mask.astype(jnp.int32), axis=1)
+                pads = (T - lens).astype(jnp.int32)
+                tmpc = out.kv_cache
+
+                cache = state.cache
+                new_cache = KVCache(
+                    cache.k.at[:, slot_ids, :, :T, :].set(tmpc.k),
+                    cache.v.at[:, slot_ids, :, :T, :].set(tmpc.v),
+                    None
+                    if cache.k_scale is None
+                    else cache.k_scale.at[:, slot_ids, :, :T].set(tmpc.k_scale),
+                    None
+                    if cache.v_scale is None
+                    else cache.v_scale.at[:, slot_ids, :, :T].set(tmpc.v_scale),
+                )
+                row_tokens = jnp.full((n, max_new), eos, jnp.int32).at[:, 0].set(first)
+                done0 = (first == eos) | (budgets <= 1)
+                return SlotState(
+                    cache=new_cache,
+                    pad_lens=state.pad_lens.at[slot_ids].set(pads),
+                    offsets=state.offsets.at[slot_ids].set(T),
+                    last_token=state.last_token.at[slot_ids].set(first),
+                    done=state.done.at[slot_ids].set(done0),
+                    tokens=state.tokens.at[slot_ids].set(row_tokens),
+                    n_emitted=state.n_emitted.at[slot_ids].set(1),
+                    budgets=state.budgets.at[slot_ids].set(budgets),
+                )
+
+            self._admit_fns[key] = fn
+        return self._admit_fns[key]
+
+    def _chunk_fn(self, k_steps: int):
+        if k_steps not in self._chunk_fns:
+            cfg, eos = self.cfg, self.eos_id
+            N = self.n_slots
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def fn(params, state: SlotState):
+                def step(_, s: SlotState):
+                    positions = (s.offsets - s.pad_lens)[:, None]
+                    out = llama_forward(
+                        params, cfg,
+                        input_ids=s.last_token[:, None],
+                        attn_mask=jnp.ones((N, 1), bool),
+                        positions=positions,
+                        kv_cache=s.cache,
+                        cache_offset=s.offsets,  # per-row depths
+                        kv_pad_lens=s.pad_lens,
+                    )
+                    nxt = jnp.argmax(out.logits[:, 0], axis=-1).astype(jnp.int32)
+                    nxt = jnp.where(s.done, jnp.int32(eos), nxt)
+                    emit = ~s.done
+                    tokens = s.tokens.at[
+                        jnp.arange(N), jnp.minimum(s.n_emitted, s.tokens.shape[1] - 1)
+                    ].set(jnp.where(emit, nxt, s.tokens[jnp.arange(N), jnp.minimum(s.n_emitted, s.tokens.shape[1] - 1)]))
+                    n_emitted = s.n_emitted + emit.astype(jnp.int32)
+                    done = s.done | (nxt == eos) | (n_emitted >= s.budgets)
+                    # done rows stop advancing: their cache slot is re-written
+                    # in place, outside every live window
+                    offsets = s.offsets + emit.astype(jnp.int32)
+                    return SlotState(
+                        cache=out.kv_cache,
+                        pad_lens=s.pad_lens,
+                        offsets=offsets,
+                        last_token=nxt,
+                        done=done,
+                        tokens=tokens,
+                        n_emitted=n_emitted,
+                        budgets=s.budgets,
+                    )
+
+                return jax.lax.fori_loop(0, k_steps, step, state)
+
+            self._chunk_fns[k_steps] = fn
+        return self._chunk_fns[k_steps]

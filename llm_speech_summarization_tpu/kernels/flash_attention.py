@@ -39,7 +39,7 @@ def _flash_kernel(
     k_ref,  # (1, S, Dh) full key stream for this (b, kv-head)
     v_ref,  # (1, S, Dh)
     o_ref,  # (1, BQ, Dh)
-    *,
+    *maybe_lse_ref,  # (1, BQ) f32 log-sum-exp per query row (training only)
     block_q: int,
     block_k: int,
     seq_len: int,
@@ -88,6 +88,9 @@ def _flash_kernel(
 
     m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    if maybe_lse_ref:
+        # p = exp(s - lse) reproduces the normalized softmax in the backward
+        maybe_lse_ref[0][0, 0, :] = m[:, 0] + jnp.log(jnp.maximum(l, 1e-30))[:, 0]
 
 
 def _xla_reference(q, k, v, starts, ends, causal):
@@ -124,9 +127,9 @@ def flash_attention(
     """q: (B, T, Hq, Dh); k, v: (B, T, Hkv, Dh); starts/ends: (B,) int32.
 
     Returns (B, T, Hq, Dh). Valid positions per sample are [start, end);
-    causal means query i attends keys j <= i. Differentiable: the forward
-    is the Pallas kernel; the backward recomputes attention through the XLA
-    reference path (a dedicated backward kernel is a further optimization).
+    causal means query i attends keys j <= i. Differentiable: forward AND
+    backward are Pallas kernels (FlashAttention-2-style backward from the
+    saved per-row log-sum-exp; GQA dk/dv group-summed outside the kernel).
     """
     B, T, Hq, Dh = q.shape
     block_q = block_q or _pick_block(T)
@@ -143,16 +146,23 @@ def _flash_diff(q, k, v, starts, ends, causal, block_q, block_k, interpret):
 
 
 def _flash_diff_fwd(q, k, v, starts, ends, causal, block_q, block_k, interpret):
-    out = _flash_impl(q, k, v, starts, ends, causal, block_q, block_k, interpret)
-    return out, (q, k, v, starts, ends)
+    out, lse = _flash_impl(
+        q, k, v, starts, ends, causal, block_q, block_k, interpret, return_lse=True
+    )
+    return out, (q, k, v, out, lse, starts, ends)
 
 
 def _flash_diff_bwd(causal, block_q, block_k, interpret, res, g):
+    """FlashAttention-2-style backward: two Pallas kernels (dq; dk/dv per
+    q-head + XLA group-sum for GQA) recomputing p from the saved LSE —
+    round 1 fell back to a full XLA recompute of the attention here, so
+    training got the kernel's benefit in forward only."""
     import numpy as np
 
-    q, k, v, starts, ends = res
-    _, vjp = jax.vjp(lambda q, k, v: _xla_reference(q, k, v, starts, ends, causal), q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, out, lse, starts, ends = res
+    dq, dk, dv = _flash_bwd_impl(
+        q, k, v, out, lse, g, starts, ends, causal, block_q, block_k, interpret
+    )
     zero_i = np.zeros(starts.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, zero_i, zero_i
 
@@ -160,8 +170,200 @@ def _flash_diff_bwd(causal, block_q, block_k, interpret, res, g):
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
+def _bwd_dq_kernel(
+    scal_ref,  # (2B,) int32 [starts | ends]
+    q_ref,  # (1, BQ, Dh)
+    k_ref,  # (1, T, Dh)
+    v_ref,  # (1, T, Dh)
+    do_ref,  # (1, BQ, Dh)
+    lse_ref,  # (1, 1, BQ) f32
+    delta_ref,  # (1, 1, BQ) f32 = rowsum(dO * O)
+    dq_ref,  # (1, BQ, Dh)
+    *,
+    block_q: int,
+    block_k: int,
+    seq_len: int,
+    scale: float,
+    causal: bool,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    B = pl.num_programs(0)
+    start = scal_ref[b]
+    end = scal_ref[B + b]
+
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0, :][:, None]  # (BQ, 1)
+    delta = delta_ref[0, 0, :][:, None]
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+
+    if causal:
+        num_k_blocks = jax.lax.div(qi * block_q + block_q - 1, block_k) + 1
+    else:
+        num_k_blocks = pl.cdiv(seq_len, block_k)
+
+    def body(ki, acc):
+        kb = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(ki * block_k, block_k), :]
+        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32) * scale
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        mask = (k_pos >= start) & (k_pos < end)
+        if causal:
+            mask = mask & (k_pos <= q_pos)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # (BQ, BK)
+        dp = jnp.dot(do, vb.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return acc + jnp.dot(ds.astype(kb.dtype), kb, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, num_k_blocks, body, jnp.zeros((block_q, q.shape[-1]), jnp.float32)
+    )
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    scal_ref,
+    k_ref,  # (1, BK, Dh)
+    v_ref,  # (1, BK, Dh)
+    q_ref,  # (1, T, Dh) full query stream for this (b, q-head)
+    do_ref,  # (1, T, Dh)
+    lse_ref,  # (1, 1, T) f32
+    delta_ref,  # (1, 1, T) f32
+    dk_ref,  # (1, BK, Dh) — per q-head; GQA group-sum happens outside
+    dv_ref,  # (1, BK, Dh)
+    *,
+    block_q: int,
+    block_k: int,
+    seq_len: int,
+    scale: float,
+    causal: bool,
+):
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    B = pl.num_programs(0)
+    start = scal_ref[b]
+    end = scal_ref[B + b]
+
+    kb = k_ref[0]
+    vb = v_ref[0]
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+    kmask = (k_pos >= start) & (k_pos < end)  # (1, BK)
+
+    num_q_blocks = pl.cdiv(seq_len, block_q)
+    if causal:
+        first_q_block = jax.lax.div(ki * block_k, block_q)
+    else:
+        first_q_block = 0
+
+    def body(qi, carry):
+        dk_acc, dv_acc = carry
+        qb = q_ref[0, pl.ds(qi * block_q, block_q), :]
+        dob = do_ref[0, pl.ds(qi * block_q, block_q), :]
+        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
+        s = jnp.dot(qb, kb.T, preferred_element_type=jnp.float32) * scale  # (BQ, BK)
+        mask = kmask
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), 0
+            )
+            mask = mask & (k_pos <= q_pos)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dv_acc = dv_acc + jnp.dot(
+            p.T.astype(dob.dtype), dob, preferred_element_type=jnp.float32
+        )
+        dp = jnp.dot(dob, vb.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_acc = dk_acc + jnp.dot(
+            ds.T.astype(qb.dtype), qb, preferred_element_type=jnp.float32
+        )
+        return dk_acc, dv_acc
+
+    zeros = jnp.zeros((block_k, kb.shape[-1]), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(first_q_block, num_q_blocks, body, (zeros, zeros))
+    dk_ref[0] = (dk_acc * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
+)
+def _flash_bwd_impl(q, k, v, out, lse, g, starts, ends, causal, block_q, block_k, interpret):
+    B, T, Hq, Dh = q.shape
+    Hkv = k.shape[2]
+    group = Hq // Hkv
+    scale = Dh ** -0.5
+
+    qt = q.transpose(0, 2, 1, 3).reshape(B * Hq, T, Dh)
+    kt = k.transpose(0, 2, 1, 3).reshape(B * Hkv, T, Dh)
+    vt = v.transpose(0, 2, 1, 3).reshape(B * Hkv, T, Dh)
+    dot = g.transpose(0, 2, 1, 3).reshape(B * Hq, T, Dh)
+    # delta_i = rowsum(dO_i * O_i), the dp→ds correction term (FA-2 eq. 19)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    ).transpose(0, 2, 1).reshape(B * Hq, 1, T)
+
+    scalars = jnp.concatenate([starts.astype(jnp.int32), ends.astype(jnp.int32)])
+    kwargs = dict(
+        block_q=block_q, block_k=block_k, seq_len=T, scale=scale, causal=causal
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **kwargs),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, Hq, T // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, Dh), lambda b, h, i, scal: (b * Hq + h, i, 0)),
+                pl.BlockSpec((1, T, Dh), lambda b, h, i, scal: (b * Hkv + h // group, 0, 0)),
+                pl.BlockSpec((1, T, Dh), lambda b, h, i, scal: (b * Hkv + h // group, 0, 0)),
+                pl.BlockSpec((1, block_q, Dh), lambda b, h, i, scal: (b * Hq + h, i, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda b, h, i, scal: (b * Hq + h, 0, i)),
+                pl.BlockSpec((1, 1, block_q), lambda b, h, i, scal: (b * Hq + h, 0, i)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, Dh), lambda b, h, i, scal: (b * Hq + h, i, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * Hq, T, Dh), q.dtype),
+        interpret=interpret,
+    )(scalars, qt, kt, vt, dot, lse, delta)
+
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **kwargs),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, Hq, T // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_k, Dh), lambda b, h, i, scal: (b * Hkv + h // group, i, 0)),
+                pl.BlockSpec((1, block_k, Dh), lambda b, h, i, scal: (b * Hkv + h // group, i, 0)),
+                pl.BlockSpec((1, T, Dh), lambda b, h, i, scal: (b * Hq + h, 0, 0)),
+                pl.BlockSpec((1, T, Dh), lambda b, h, i, scal: (b * Hq + h, 0, 0)),
+                pl.BlockSpec((1, 1, T), lambda b, h, i, scal: (b * Hq + h, 0, 0)),
+                pl.BlockSpec((1, 1, T), lambda b, h, i, scal: (b * Hq + h, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_k, Dh), lambda b, h, i, scal: (b * Hq + h, i, 0)),
+                pl.BlockSpec((1, block_k, Dh), lambda b, h, i, scal: (b * Hq + h, i, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B * Hq, T, Dh), k.dtype),
+            jax.ShapeDtypeStruct((B * Hq, T, Dh), v.dtype),
+        ],
+        interpret=interpret,
+    )(scalars, kt, vt, qt, dot, lse, delta)
+
+    dq = dq.reshape(B, Hq, T, Dh).transpose(0, 2, 1, 3)
+    # GQA: per-q-head dk/dv reduce over the group onto the kv head
+    dk = dk_h.reshape(B, Hkv, group, T, Dh).sum(2).transpose(0, 2, 1, 3)
+    dv = dv_h.reshape(B, Hkv, group, T, Dh).sum(2).transpose(0, 2, 1, 3)
+    return dq, dk, dv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret", "return_lse")
 )
 def _flash_impl(
     q: jnp.ndarray,
@@ -173,7 +375,8 @@ def _flash_impl(
     block_q: int,
     block_k: int,
     interpret: bool,
-) -> jnp.ndarray:
+    return_lse: bool = False,
+):
     B, T, Hq, Dh = q.shape
     Hkv = k.shape[2]
     assert Hq % Hkv == 0
@@ -196,6 +399,17 @@ def _flash_impl(
 
     scalars = jnp.concatenate([starts.astype(jnp.int32), ends.astype(jnp.int32)])
 
+    out_specs = pl.BlockSpec((1, block_q, Dh), lambda b, h, i, scal: (b * Hq + h, i, 0))
+    out_shape = jax.ShapeDtypeStruct((B * Hq, T, Dh), q.dtype)
+    if return_lse:
+        # LSE rides as (B*Hq, 1, T) so its (1, 1, block_q) blocks satisfy
+        # the TPU (8, 128) last-two-dims tiling rule
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i, scal: (b * Hq + h, 0, i)),
+        ]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((B * Hq, 1, T), jnp.float32)]
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -206,11 +420,9 @@ def _flash_impl(
                 pl.BlockSpec((1, T, Dh), lambda b, h, i, scal: (b * Hkv + h // group, 0, 0)),
                 pl.BlockSpec((1, T, Dh), lambda b, h, i, scal: (b * Hkv + h // group, 0, 0)),
             ],
-            out_specs=pl.BlockSpec(
-                (1, block_q, Dh), lambda b, h, i, scal: (b * Hq + h, i, 0)
-            ),
+            out_specs=out_specs,
         ),
-        out_shape=jax.ShapeDtypeStruct((B * Hq, T, Dh), q.dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(
         scalars,
@@ -218,4 +430,7 @@ def _flash_impl(
         kt.reshape(B * Hkv, T, Dh),
         vt.reshape(B * Hkv, T, Dh),
     )
+    if return_lse:
+        out, lse = out
+        return out.reshape(B, Hq, T, Dh).transpose(0, 2, 1, 3), lse
     return out.reshape(B, Hq, T, Dh).transpose(0, 2, 1, 3)

@@ -286,7 +286,7 @@ def _block(
             k_cache, v_cache, k_scale, v_scale = cache_kv
         else:
             (k_cache, v_cache), k_scale, v_scale = cache_kv, None, None
-        pad_lens, offset = attn_args
+        pad_lens, offset = attn_args  # offset: (B,) — scalar pre-broadcast
         S = k_cache.shape[2]
         group = Hq // Hkv
         qg = q.reshape(B, Hkv, group, Dh)  # T == 1
@@ -298,7 +298,7 @@ def _block(
             s_c = s_c * k_scale[:, :, None, :].astype(jnp.float32)
         s_c = s_c * (Dh ** -0.5)
         slot = jnp.arange(S, dtype=jnp.int32)
-        valid = (slot[None, :] >= pad_lens[:, None]) & (slot[None, :] < offset)
+        valid = (slot[None, :] >= pad_lens[:, None]) & (slot[None, :] < offset[:, None])
         s_c = jnp.where(valid[:, None, None, :], s_c, -1e30)
         s_new = jnp.einsum(
             "bhgd,bhd->bhg", qg, k[:, 0], preferred_element_type=jnp.float32
@@ -427,6 +427,9 @@ def llama_forward(
             attn_kind, attn_args = "bias", (make_attention_bias(attn_mask, attn_mask, causal=True),)
     else:
         assert cache_offset is not None
+        cache_offset = jnp.asarray(cache_offset, jnp.int32)
+        per_row_offset = cache_offset.ndim == 1  # continuous batching: each
+        # slot decodes at its own depth (infer/slots.py)
         S = kv_cache.max_len
         # decode: for bf16 caches XLA's fused attention currently beats the
         # Pallas decode kernel (it hides the [cache|fresh] concat well) —
@@ -437,16 +440,22 @@ def llama_forward(
             kv_pad_lens is not None
             and T == 1
             and cfg.head_dim % 128 == 0
+            and not per_row_offset
             and jax.default_backend() == "tpu"
         )
         if attn_impl == "pallas" and pallas_decode_ok:
             attn_kind = "decode_pallas"
-            attn_args = (kv_pad_lens.astype(jnp.int32), jnp.asarray(cache_offset, jnp.int32))
+            attn_args = (kv_pad_lens.astype(jnp.int32), cache_offset)
         elif kv_pad_lens is not None and T == 1:
-            # fused native-layout decode for both bf16 and int8 caches
+            # fused native-layout decode for both bf16 and int8 caches;
+            # handles scalar or per-row offsets
             attn_kind = "decode_xla_q"
-            attn_args = (kv_pad_lens.astype(jnp.int32), jnp.asarray(cache_offset, jnp.int32))
+            attn_args = (
+                kv_pad_lens.astype(jnp.int32),
+                jnp.broadcast_to(cache_offset, (B,)),
+            )
         else:
+            assert not per_row_offset, "decode_xla path needs a scalar offset"
             if kv_valid is None:
                 assert kv_pad_lens is not None
                 slot = jnp.arange(S, dtype=jnp.int32)[None, :]
@@ -503,23 +512,34 @@ def llama_forward(
         # instead of O(L·B·S) per-layer copies
         k_new = k_new.transpose(0, 1, 3, 2, 4)  # (L, B, Hkv, T, Dh)
         v_new = v_new.transpose(0, 1, 3, 2, 4)
+
+        def write(buf, new):
+            """In-place slot write at cache_offset — scalar, or per-row (B,)
+            (continuous batching: each slot has its own depth)."""
+            new = new.astype(buf.dtype)
+            if jnp.ndim(cache_offset) == 0:
+                idx = (0, 0, 0, cache_offset) + (0,) * (buf.ndim - 4)
+                return jax.lax.dynamic_update_slice(buf, new, idx)
+
+            def row(buf_b, new_b, off):
+                idx = (0, 0, off) + (0,) * (buf_b.ndim - 3)
+                return jax.lax.dynamic_update_slice(buf_b, new_b, idx)
+
+            return jax.vmap(row, in_axes=(1, 1, 0), out_axes=1)(buf, new, cache_offset)
+
         if kv_cache.quantized:
             kq, ks = _quantize_kv(k_new)
             vq, vs = _quantize_kv(v_new)
             new_kv = KVCache(
-                jax.lax.dynamic_update_slice(kv_cache.k, kq, (0, 0, 0, cache_offset, 0)),
-                jax.lax.dynamic_update_slice(kv_cache.v, vq, (0, 0, 0, cache_offset, 0)),
-                jax.lax.dynamic_update_slice(kv_cache.k_scale, ks, (0, 0, 0, cache_offset)),
-                jax.lax.dynamic_update_slice(kv_cache.v_scale, vs, (0, 0, 0, cache_offset)),
+                write(kv_cache.k, kq),
+                write(kv_cache.v, vq),
+                write(kv_cache.k_scale, ks),
+                write(kv_cache.v_scale, vs),
             )
         else:
             new_kv = KVCache(
-                jax.lax.dynamic_update_slice(
-                    kv_cache.k, k_new.astype(kv_cache.k.dtype), (0, 0, 0, cache_offset, 0)
-                ),
-                jax.lax.dynamic_update_slice(
-                    kv_cache.v, v_new.astype(kv_cache.v.dtype), (0, 0, 0, cache_offset, 0)
-                ),
+                write(kv_cache.k, k_new),
+                write(kv_cache.v, v_new),
             )
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)

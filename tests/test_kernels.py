@@ -146,3 +146,72 @@ def test_int8_cache_generation_close_to_fp():
                                 eos_id=257, cache_dtype=jnp.int8)
     agree = (np.asarray(toks_fp) == np.asarray(toks_q)).mean()
     assert agree >= 0.75, f"int8 cache diverged: agreement {agree}"
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_attention_backward_matches_xla(causal):
+    """The Pallas FA-2 backward (dq/dk/dv kernels + GQA group-sum) must match
+    jax.grad through the XLA reference attention."""
+    from llm_speech_summarization_tpu.kernels.flash_attention import _xla_reference
+
+    B, T, Hq, Hkv, Dh = 2, 256, 4, 2, 128
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(B, T, Hq, Dh), jnp.float32)
+    k = jnp.asarray(rng.randn(B, T, Hkv, Dh), jnp.float32)
+    v = jnp.asarray(rng.randn(B, T, Hkv, Dh), jnp.float32)
+    starts = jnp.asarray(np.array([0, 37], np.int32))
+    ends = jnp.asarray(np.array([T, T - 11], np.int32))
+    g = jnp.asarray(rng.randn(B, T, Hq, Dh), jnp.float32)
+    # zero cotangents at invalid query rows: forward emits garbage there
+    # (contract: callers mask downstream), so gradients only compare on
+    # the valid window
+    pos = np.arange(T)[None, :]
+    valid = (pos >= np.asarray(starts)[:, None]) & (pos < np.asarray(ends)[:, None])
+    g = g * jnp.asarray(valid)[:, :, None, None]
+
+    def flash_loss(q, k, v):
+        out = flash_attention(q, k, v, starts, ends, causal=causal, interpret=True)
+        return jnp.vdot(out, g)
+
+    def ref_loss(q, k, v):
+        return jnp.vdot(_xla_reference(q, k, v, starts, ends, causal), g)
+
+    got = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("q k v".split(), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_flash_attention_backward_dh64():
+    """Encoder shape (Dh=64, non-causal, right-padded window)."""
+    from llm_speech_summarization_tpu.kernels.flash_attention import _xla_reference
+
+    B, T, H, Dh = 2, 256, 4, 64
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(B, T, H, Dh), jnp.float32)
+    k = jnp.asarray(rng.randn(B, T, H, Dh), jnp.float32)
+    v = jnp.asarray(rng.randn(B, T, H, Dh), jnp.float32)
+    starts = jnp.zeros((B,), jnp.int32)
+    ends = jnp.asarray(np.array([T, 150], np.int32))
+    g = jnp.asarray(rng.randn(B, T, H, Dh), jnp.float32)
+    valid = np.arange(T)[None, :] < np.asarray(ends)[:, None]
+    g = g * jnp.asarray(valid)[:, :, None, None]
+
+    got = jax.grad(
+        lambda q, k, v: jnp.vdot(
+            flash_attention(q, k, v, starts, ends, causal=False, interpret=True), g
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    want = jax.grad(
+        lambda q, k, v: jnp.vdot(_xla_reference(q, k, v, starts, ends, False), g),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for name, a, b in zip("q k v".split(), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
+            err_msg=f"d{name} mismatch",
+        )
