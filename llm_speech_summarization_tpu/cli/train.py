@@ -24,18 +24,24 @@ def main(argv=None):
     parser.add_argument("-p", "--checkpoint_path", type=str, default=None,
                         help="path of checkpoint for resuming training")
     parser.add_argument("--mesh", type=str, default=None,
-                        help="override mesh as 'data,model' (e.g. '4,2')")
+                        help="override mesh as 'data,model' or 'data,seq,model' (e.g. '4,2')")
     args = parser.parse_args(argv)
 
     from ..configs import load_config
-    from ..parallel.mesh import make_mesh
+    from ..parallel.mesh import distributed_init, make_mesh
     from ..train.trainer import Trainer
+
+    # multi-host: join the cluster (env-driven; single-process no-op) BEFORE
+    # the first backend touch so jax.devices() is the global set
+    distributed_init()
 
     config = load_config(args.config)
     if args.mesh:
-        d, m = (int(x) for x in args.mesh.split(","))
-        config.train.mesh.data = d
-        config.train.mesh.model = m
+        sizes = [int(x) for x in args.mesh.split(",")]
+        if len(sizes) == 3:
+            config.train.mesh.data, config.train.mesh.seq, config.train.mesh.model = sizes
+        else:
+            config.train.mesh.data, config.train.mesh.model = sizes
 
     if config.debug.nans:
         import jax

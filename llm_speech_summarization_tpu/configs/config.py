@@ -86,7 +86,8 @@ class MeshConfig:
 
     data: int = -1  # -1: infer from device count / other axes
     model: int = 1  # tensor-parallel axis size
-    axis_names: Tuple[str, str] = ("data", "model")
+    seq: int = 1  # sequence-parallel (ring attention) axis size
+    axis_names: Tuple[str, ...] = ("data", "model")
 
 
 @dataclass
@@ -124,6 +125,10 @@ class TrainConfig:
     buckets: BucketConfig = field(default_factory=BucketConfig)
     remat: bool = True  # jax.checkpoint the LLM blocks
     steps: Optional[int] = None  # optional hard step cap (overrides epochs)
+    # Sequence parallelism for long-audio training: shard the spliced
+    # sequence over the mesh "seq" axis and run the LLM forward through ring
+    # attention (ops/ring_attention.py). Requires mesh.seq > 1.
+    use_ring_attention: bool = False
 
 
 @dataclass

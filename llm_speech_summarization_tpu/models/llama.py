@@ -214,6 +214,8 @@ def _block(
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     *,
     attn_kind: str,
+    ring_mesh=None,
+    ring_axis: Optional[str] = None,
 ):
     """One transformer block. Returns (out, (k_new, v_new)).
 
@@ -250,6 +252,15 @@ def _block(
 
     if attn_kind == "bias":
         attn = dot_product_attention(q, k, v, attn_args[0])
+    elif attn_kind == "ring":
+        # sequence-parallel causal attention: T is sharded over ring_axis of
+        # ring_mesh and K/V blocks rotate on ICI (ops/ring_attention.py).
+        # The long-audio scale-out path (SURVEY.md §2.3 SP/CP row).
+        from ..ops.ring_attention import ring_attention
+
+        attn = ring_attention(
+            q, k, v, attn_args[0], ring_mesh, seq_axis=ring_axis, causal=True
+        )
     elif attn_kind == "flash":
         from ..kernels.flash_attention import flash_attention
 
@@ -358,6 +369,8 @@ def llama_forward(
     remat: bool = False,
     attn_impl: str = "auto",
     scan_unroll: int = 1,
+    ring_mesh=None,
+    ring_axis: str = "seq",
 ) -> LlamaOutput:
     """Run the decoder.
 
@@ -419,7 +432,16 @@ def llama_forward(
 
     if not is_decode:
         # training / teacher / prefill: causal over the fresh T keys only
-        if use_pallas and T % 128 == 0:
+        if ring_mesh is not None:
+            # sequence parallelism: shard T over ring_mesh[ring_axis]. Only
+            # the full-sequence (no-cache) modes — decode is a T=1 step and
+            # prefill's cache write is per-device-local, neither shards T.
+            assert kv_cache is None, "ring attention covers the cache-free forward"
+            n_seq = ring_mesh.shape[ring_axis]
+            assert T % n_seq == 0, f"T={T} not divisible by {ring_axis}={n_seq}"
+            pad_lens = (T - jnp.sum(attn_mask.astype(jnp.int32), axis=1)).astype(jnp.int32)
+            attn_kind, attn_args = "ring", (pad_lens,)
+        elif use_pallas and T % 128 == 0:
             # left-padded window [pad_len, T)
             pad_lens = (T - jnp.sum(attn_mask.astype(jnp.int32), axis=1)).astype(jnp.int32)
             attn_kind, attn_args = "flash", (pad_lens, jnp.full((B,), T, jnp.int32))
@@ -474,7 +496,9 @@ def llama_forward(
 
     import functools as _ft
 
-    block = _ft.partial(_block, attn_kind=attn_kind)
+    block = _ft.partial(
+        _block, attn_kind=attn_kind, ring_mesh=ring_mesh, ring_axis=ring_axis
+    )
     if remat:
         block = jax.checkpoint(block, static_argnums=(0,))
 

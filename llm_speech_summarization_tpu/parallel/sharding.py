@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -43,6 +44,27 @@ def llama_param_spec(params: Any) -> Any:
 def encoder_param_spec(params: Any) -> Any:
     """Audio-encoder params: replicated (small next to the LLM)."""
     return jax.tree_util.tree_map(lambda x: P(), params)
+
+
+def opt_state_spec(opt_state: Any, mesh: Mesh, min_size: int = 16384) -> Any:
+    """ZeRO-1 sharding for the optimizer state (SURVEY.md §2.3 ZeRO row).
+
+    Encoder params are replicated, but their Adam moments (2× the f32
+    master size — the encoder's HBM term that caps the per-chip train
+    batch, PERF.md) need not be: every moment tensor whose leading dim
+    divides by the "data" axis is split there; tiny/odd leaves and scalar
+    counts stay replicated. XLA inserts the reshard on update — one
+    scatter/gather per step, the classic ZeRO-1 trade.
+    """
+    n = mesh.shape["data"]
+
+    def spec_for(x) -> P:
+        shape = getattr(x, "shape", ())
+        if len(shape) >= 1 and shape[0] % n == 0 and int(np.prod(shape)) >= min_size:
+            return P("data")
+        return P()
+
+    return jax.tree_util.tree_map(spec_for, opt_state)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -11,8 +11,10 @@ per-batch Python orchestration (reference: trainer.py:261-384):
 Both sequences are left-padded to the SAME static length, so the response
 windows (the last r_b positions) land on identical indices — LD/FD
 alignment is a shared mask instead of the reference's `[:, -num_labels:]`
-slicing (reference: trainer.py:347-370). Student and teacher run as one
-stacked (2B, L) LLM forward to keep the MXU fed.
+slicing (reference: trainer.py:347-370). Student and teacher run as two
+separate (B, L) LLM forwards: the teacher is gradient-free, and keeping it
+out of the differentiated program keeps the dx backward and the remat
+recompute B-wide (B·T rows already saturate the MXU).
 
 Losses (reference: trainer.py:328-370):
   ntp — response-window CE (model/audio_llama.py:72-101)
@@ -51,6 +53,8 @@ def _forward_losses(
     suffix_ids: jnp.ndarray,
     total_len: int,
     remat: bool,
+    ring_mesh=None,
+    ring_axis: str = "seq",
 ):
     tcfg = cfg.train
     compute_dtype = jnp.dtype(cfg.model.compute_dtype)
@@ -89,40 +93,53 @@ def _forward_losses(
             table, prefix_ids, suffix_ids, text_embeds, batch.text_lens,
             batch.response_ids, batch.response_lens, total_len=total_len,
         )
-        # one stacked forward — (2B, L) keeps matmuls big. The fused loss
+        # TWO forwards, not one stacked (2B, L): the teacher depends only on
+        # the frozen llm_params, so keeping it in a separate program means
+        # jax.grad builds NO backward for it — round 1 stacked them "to keep
+        # the MXU fed", which silently made the dx backward AND the remat
+        # recompute run 2B-wide for a gradient-free half (≈1/3 of the LLM
+        # step cost; B·T rows already saturate the MXU). The fused loss
         # consumes final hidden states; (B, W, 128k) logits are never
         # materialized (ops/losses.py::fused_ntp_ld_losses).
-        embeds = jnp.concatenate([student.embeds, teacher.embeds], axis=0)
-        masks = jnp.concatenate([student.attn_mask, teacher.attn_mask], axis=0)
         out = llama_forward(
             llm_params, llm_cfg,
-            inputs_embeds=embeds, attn_mask=masks,
+            inputs_embeds=student.embeds, attn_mask=student.attn_mask,
             return_hidden=tcfg.use_fd_loss, hidden_window=W,
             compute_logits=False, return_final_hidden=True,
             logit_window=W, remat=remat,
+            ring_mesh=ring_mesh, ring_axis=ring_axis,
         )
-        B = batch.wav.shape[0]
+        t_out = llama_forward(
+            llm_params, llm_cfg,
+            inputs_embeds=jax.lax.stop_gradient(teacher.embeds),
+            attn_mask=teacher.attn_mask,
+            return_hidden=tcfg.use_fd_loss, hidden_window=W,
+            compute_logits=False, return_final_hidden=True,
+            logit_window=W, remat=False,
+            ring_mesh=ring_mesh, ring_axis=ring_axis,
+        )
         head_vd = (
             llm_params["embed_tokens"]
             if llm_cfg.tie_embeddings
             else llm_params["lm_head"].T
         )
         ntp, ld = fused_ntp_ld_losses(
-            out.final_hidden[:B],
-            out.final_hidden[B:],
+            out.final_hidden,
+            t_out.final_hidden,
             head_vd,
             student.labels[:, -W:],
             student.loss_mask[:, -W:],
             student.response_mask[:, -W:],
         )
         if tcfg.use_fd_loss:
-            s_hidden = out.hidden_states[:, :B]
-            t_hidden = out.hidden_states[:, B:]
+            s_hidden = out.hidden_states
+            t_hidden = t_out.hidden_states
     else:
         out = llama_forward(
             llm_params, llm_cfg,
             inputs_embeds=student.embeds, attn_mask=student.attn_mask,
             return_hidden=False, logit_window=W, remat=remat,
+            ring_mesh=ring_mesh, ring_axis=ring_axis,
         )
         ntp = response_cross_entropy(
             out.logits, student.labels[:, -W:], student.loss_mask[:, -W:]
@@ -157,12 +174,18 @@ def make_train_step(
     suffix_ids: jnp.ndarray,
     total_len: int,
     donate: bool = True,
+    ring_mesh=None,
+    ring_axis: str = "seq",
 ):
     """Build the jitted train step: (state, llm_params, batch) → (state, metrics).
 
     Gradients flow only into the encoder params; the LLM is frozen by
     construction (the reference kept a no-op LLM param group in AdamW,
     reference: trainer.py:98-105 — dropped here).
+
+    ``ring_mesh``/``ring_axis``: when set (config ``train.use_ring_attention``
+    + ``mesh.seq > 1``), the LLM forward/backward runs sequence-parallel ring
+    attention with the spliced T sharded over that mesh axis.
     """
 
     def step_fn(state: TrainState, llm_params, batch: Batch):
@@ -172,6 +195,7 @@ def make_train_step(
                 enc_setup=enc_setup, llm_cfg=llm_cfg, cfg=cfg,
                 prefix_ids=prefix_ids, suffix_ids=suffix_ids,
                 total_len=total_len, remat=cfg.train.remat,
+                ring_mesh=ring_mesh, ring_axis=ring_axis,
             ),
             has_aux=True,
         )

@@ -97,6 +97,30 @@ class Trainer:
         self.state, self.tx = make_train_state(config, enc_params, self.total_opt_steps)
         self.steps_per_epoch = steps_per_epoch
 
+        # mesh placement: TP-shard the frozen LLM over "model", ZeRO-1-shard
+        # the optimizer state over "data" (docs/DESIGN.md mesh strategy);
+        # encoder params stay replicated (their grads all-reduce over "data")
+        if self.mesh is not None:
+            from ..parallel.sharding import (
+                llama_param_spec,
+                opt_state_spec,
+                shard_params,
+            )
+
+            axes = dict(self.mesh.shape)
+            if axes.get("model", 1) > 1:
+                self.llm_params = shard_params(
+                    self.mesh, self.llm_params, llama_param_spec(self.llm_params)
+                )
+            if axes.get("data", 1) > 1:
+                self.state = self.state._replace(
+                    opt_state=shard_params(
+                        self.mesh,
+                        self.state.opt_state,
+                        opt_state_spec(self.state.opt_state, self.mesh),
+                    )
+                )
+
         # per-audio-bucket jitted steps
         self._train_steps = {}
         self._eval_steps = {}
@@ -140,9 +164,26 @@ class Trainer:
         P, S = self.prefix_ids.shape[0], self.suffix_ids.shape[0]
         R = self.config.train.buckets.max_response_tokens
         T = self.config.train.buckets.max_text_tokens
-        # one shared length for student (audio) and teacher (text) sequences
+        # one shared length for student (audio) and teacher (text) sequences.
+        # Rounded to 128 so the Pallas flash kernel (fwd + bwd both need
+        # T % 128 == 0) engages in training — at 64-granularity the LLM
+        # forward silently fell back to XLA masked attention.
         need = P + max(M, T) + S + R
-        return ((need + 63) // 64) * 64
+        return ((need + 127) // 128) * 128
+
+    def _ring_args(self, total_len: int) -> dict:
+        """Ring-attention kwargs for make_train_step (config
+        train.use_ring_attention + mesh.seq > 1): the spliced T is sharded
+        over the mesh "seq" axis, so total_len must divide by it."""
+        tcfg = self.config.train
+        if not tcfg.use_ring_attention:
+            return {}
+        assert self.mesh is not None and "seq" in self.mesh.axis_names, (
+            "use_ring_attention needs a mesh with a 'seq' axis (mesh.seq > 1)"
+        )
+        n_seq = self.mesh.shape["seq"]
+        assert total_len % n_seq == 0, f"total_len={total_len} vs seq={n_seq}"
+        return {"ring_mesh": self.mesh, "ring_axis": "seq"}
 
     def _get_train_step(self, audio_bucket: int):
         if audio_bucket not in self._train_steps:
@@ -150,6 +191,7 @@ class Trainer:
             self._train_steps[audio_bucket] = make_train_step(
                 self.config, self.enc_setup, self.llm_cfg, self.tx,
                 self.prefix_ids, self.suffix_ids, total_len,
+                **self._ring_args(total_len),
             )
         return self._train_steps[audio_bucket]
 
@@ -240,6 +282,10 @@ class Trainer:
                 print(f"Epoch {epoch}")
                 t0 = time.time()
                 for batch in self._batches(self.train_ds, tcfg.batch_size, True, cfg.seed_everything + epoch):
+                    if self.mesh is not None and batch.wav.shape[0] % dict(self.mesh.shape).get("data", 1) == 0:
+                        from ..parallel.sharding import shard_batch
+
+                        batch = shard_batch(self.mesh, batch)
                     step_fn = self._get_train_step(batch.wav.shape[1])
                     self.state, metrics = step_fn(self.state, self.llm_params, batch)
                     self.step += 1

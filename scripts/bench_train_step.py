@@ -69,7 +69,7 @@ def main():
     need = P + max(out.shape[1], cfg.train.buckets.max_text_tokens) + S + (
         cfg.train.buckets.max_response_tokens
     )
-    total_len = ((need + 63) // 64) * 64
+    total_len = ((need + 127) // 128) * 128  # flash fwd/bwd need T % 128 == 0
 
     state, tx = make_train_state(cfg, enc_params, total_opt_steps=100)
     step = make_train_step(

@@ -131,3 +131,65 @@ def test_tp_sharded_generation_matches_replicated():
             cache_dtype=jnp.float32,
         )
     np.testing.assert_array_equal(np.asarray(tp_tokens), np.asarray(ref_tokens))
+
+
+@needs_8_devices
+def test_zero1_sharded_opt_state_matches_replicated():
+    """ZeRO-1: optimizer state sharded over "data" produces the same update
+    (and the returned moments stay sharded) as the replicated state."""
+    from llm_speech_summarization_tpu.parallel.sharding import opt_state_spec
+
+    (cfg, tok, prefix, suffix, llm_cfg, llm_params, enc_setup, enc_params, batch) = _setup(8)
+    total_len = _total_len(cfg, enc_setup, enc_params, batch, prefix, suffix)
+
+    state0, tx = make_train_state(cfg, enc_params, total_opt_steps=10)
+    step = make_train_step(cfg, enc_setup, llm_cfg, tx, prefix, suffix, total_len, donate=False)
+    ref_state, ref_metrics = step(state0, llm_params, batch)
+
+    mesh = mesh_from_devices(data=8, model=1)
+    with mesh:
+        spec = opt_state_spec(state0.opt_state, mesh)
+        # at least one large moment leaf actually got a "data" spec
+        from jax.sharding import PartitionSpec as P
+
+        specs = jax.tree_util.tree_leaves(
+            spec, is_leaf=lambda s: isinstance(s, P)
+        )
+        assert any(s == P("data") for s in specs), "nothing sharded"
+        opt_sh = shard_params(mesh, state0.opt_state, spec)
+        state_sh = state0._replace(opt_state=opt_sh)
+        batch_sh = shard_batch(mesh, batch)
+        new_state, metrics = step(state_sh, llm_params, batch_sh)
+
+    for key in ("total_loss", "grad_norm"):
+        np.testing.assert_allclose(
+            float(metrics[key]), float(ref_metrics[key]), rtol=5e-3, atol=5e-4
+        )
+    # updated params identical to the replicated run
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.enc_params),
+        jax.tree_util.tree_leaves(new_state.enc_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_distributed_init_single_process_noop():
+    """distributed_init is a no-op without coordinator env/args."""
+    from llm_speech_summarization_tpu.parallel.mesh import distributed_init
+
+    assert distributed_init() is False
+
+
+def test_mesh_seq_axis_construction():
+    """mesh.seq > 1 inserts a 'seq' axis between data and model."""
+    from llm_speech_summarization_tpu.parallel.mesh import mesh_from_devices
+
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip("needs 8 devices")
+    m = mesh_from_devices(data=2, model=2, seq=2)
+    assert m.axis_names == ("data", "seq", "model")
+    assert dict(m.shape) == {"data": 2, "seq": 2, "model": 2}
+    m2 = mesh_from_devices(data=-1, model=2, seq=2)
+    assert dict(m2.shape)["data"] == 2
