@@ -19,6 +19,9 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--max_new_tokens", type=int, default=128)
     parser.add_argument("--no_latency", action="store_true")
+    parser.add_argument("--bertscore", action="store_true",
+                        help="also compute BERTScore (embedder: the engine's "
+                        "own LLM mid-layer; meaningful with converted weights)")
     args = parser.parse_args(argv)
 
     from ..configs import load_config
@@ -31,6 +34,11 @@ def main(argv=None):
         config, audio_encoder_checkpoint=args.audio_encoder_checkpoint
     )
     _, val_ds = load_training_datasets(config, engine.tokenizer)
+    embedder = None
+    if args.bertscore:
+        from ..eval.bertscore import LlamaEmbedder
+
+        embedder = LlamaEmbedder(engine.llm_params, engine.llm_cfg, engine.tokenizer)
     metrics = evaluate_engine(
         engine,
         val_ds,
@@ -38,6 +46,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         max_new_tokens=args.max_new_tokens,
         measure_latency=not args.no_latency,
+        bertscore_embedder=embedder,
     )
     print(json.dumps(metrics))
 

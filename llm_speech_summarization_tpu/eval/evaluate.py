@@ -15,6 +15,7 @@ from typing import Dict, List
 
 import numpy as np
 
+from .bertscore import bert_score
 from .rouge import rouge_scores
 
 
@@ -25,6 +26,7 @@ def evaluate_engine(
     batch_size: int = 16,
     max_new_tokens: int = 128,
     measure_latency: bool = True,
+    bertscore_embedder=None,
 ) -> Dict[str, float]:
     """Generate audio- and text-prompted responses over `dataset` and score.
 
@@ -61,6 +63,14 @@ def evaluate_engine(
 
     metrics: Dict[str, float] = dict(rouge_scores(audio_preds, text_refs))
     metrics["num_samples"] = float(n)
+
+    if bertscore_embedder is not None:
+        # BASELINE.md's second quality metric; pass e.g.
+        # eval.LlamaEmbedder(engine.llm_params, engine.llm_cfg, engine.tokenizer)
+        bs = bert_score(audio_preds, text_refs, bertscore_embedder, idf=True)
+        metrics["bertscore_precision"] = bs["precision"]
+        metrics["bertscore_recall"] = bs["recall"]
+        metrics["bertscore_f1"] = bs["f1"]
 
     if measure_latency and n:
         # single-utterance latency distribution (prompt build + prefill +
