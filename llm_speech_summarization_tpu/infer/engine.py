@@ -348,6 +348,16 @@ class LLMSpeechTextInference:
         P, S = self.prefix_ids.shape[0], self.suffix_ids.shape[0]
         total_len = _round_up(P + M + txt_ids.shape[1] + S, self.bucket)
 
+        if ranges is None and B >= 2 * self._upload_chunks:
+            # pipelined path: upload chunk i+1 streams over the (slow,
+            # tunneled) host link WHILE the encoder runs on chunk i — JAX
+            # dispatch is async, so each thread's device_put + encoder call
+            # returns immediately and the device interleaves transfer with
+            # compute. Hides most of the encoder time inside the upload.
+            audio_embeds, emb_lens = self._encode_pipelined(wav, lens)
+            splice_fn = self._splice_fn(has_text, total_len)
+            return splice_fn(self.llm_params, audio_embeds, emb_lens, txt_ids, txt_lens)
+
         prompt_fn = self._audio_prompt_fn(has_text, total_len)
         return prompt_fn(
             self.audio_encoder_params,
@@ -358,6 +368,77 @@ class LLMSpeechTextInference:
             txt_ids,
             txt_lens,
         )
+
+    _upload_chunks = 4
+
+    def _encode_pipelined(self, wav: np.ndarray, lens: np.ndarray):
+        """Chunked host→device upload overlapped with per-chunk encoder runs.
+
+        Each worker thread device_puts one (B/n, N) float16 slab and
+        immediately dispatches the jitted encoder on it; while that chunk's
+        encoder executes, the next thread's slab is still streaming over the
+        host link. Audio embeds concat back to (B, M, D) on device. On this
+        environment's tunneled backend the upload costs ~0.9 s for a 128×10 s
+        batch — the encoder (~0.5 s) now rides inside it.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = self._upload_chunks
+        B = wav.shape[0]
+        rows = B // n  # B is a power of two ≥ 2n
+        wav16 = wav.astype(np.float16)
+
+        if not hasattr(self, "_encode_chunk_jit"):
+            setup, dtype = self.encoder_setup, self.dtype
+            self._encode_chunk_jit = jax.jit(
+                lambda p, w, l: audio_encoder_forward(p, setup, w.astype(dtype), l)
+            )
+            self._concat_embeds_jit = jax.jit(
+                lambda es, ls: (jnp.concatenate(es, 0), jnp.concatenate(ls, 0))
+            )
+        enc = self._encode_chunk_jit
+        params = self.audio_encoder_params
+
+        def job(i):
+            w = jax.device_put(wav16[i * rows : (i + 1) * rows])
+            l = jax.device_put(lens[i * rows : (i + 1) * rows])
+            return enc(params, w, l)  # async dispatch
+
+        with ThreadPoolExecutor(n) as ex:
+            outs = list(ex.map(job, range(n)))
+        return self._concat_embeds_jit([o[0] for o in outs], [o[1] for o in outs])
+
+    def _splice_fn(self, has_text: bool, total_len: int):
+        """Jitted (audio_embeds, emb_lens) → spliced prompt; the encoder-free
+        tail of _audio_prompt_fn, used by the pipelined upload path."""
+        key = (has_text, total_len)
+        if not hasattr(self, "_splice_fns"):
+            self._splice_fns = {}
+        if key not in self._splice_fns:
+            prefix_ids, suffix_ids, dtype = self.prefix_ids, self.suffix_ids, self.dtype
+            embed_rows = self._embed_rows
+            P = int(prefix_ids.shape[0])
+            S = int(suffix_ids.shape[0])
+
+            def fn(llm_params, audio_embeds, emb_lens, txt_ids, txt_lens):
+                if has_text:
+                    txt_embeds = embed_rows(llm_params, txt_ids)
+                    mid, mid_lens = concat_mid_buffers(
+                        txt_embeds, txt_lens, audio_embeds.astype(dtype), emb_lens
+                    )
+                else:
+                    mid, mid_lens = audio_embeds.astype(dtype), emb_lens
+                mini = embed_rows(llm_params, jnp.concatenate([prefix_ids, suffix_ids]))
+                sp = splice_sequences(
+                    mini,
+                    jnp.arange(P, dtype=jnp.int32),
+                    jnp.arange(P, P + S, dtype=jnp.int32),
+                    mid, mid_lens, total_len=total_len,
+                )
+                return sp.embeds, sp.attn_mask
+
+            self._splice_fns[key] = jax.jit(fn)
+        return self._splice_fns[key]
 
     def _transfer_wav(self, wav: np.ndarray, n_chunks: int = 4) -> jnp.ndarray:
         """Host→device audio upload, chunked over concurrent threads.

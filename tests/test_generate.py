@@ -152,3 +152,30 @@ def test_engine_odd_batch_sizes_bucketed():
     # bucketing must not change per-sample results
     single = eng.generate_audio_response(audios[1], max_new_tokens=8)
     assert out3[1] == single
+
+
+def test_pipelined_upload_path_matches_fused():
+    """B >= 2*upload_chunks routes through _encode_pipelined (chunked upload
+    overlapped with per-chunk encoder dispatch); tokens must match the fused
+    single-program path exactly."""
+    cfg = load_config(TINY_YAML)
+    eng = LLMSpeechTextInference(cfg)
+    rng = np.random.RandomState(7)
+    audios = [(rng.randn(8000 + 700 * i) * 0.05).astype(np.float32) for i in range(8)]
+
+    assert 8 >= 2 * eng._upload_chunks  # pipelined path engages
+    piped = eng.generate_audio_response_batch(audios, max_new_tokens=8)
+
+    eng2 = LLMSpeechTextInference(cfg)
+    eng2._upload_chunks = 1024  # force the fused (unpipelined) path
+    fused = eng2.generate_audio_response_batch(audios, max_new_tokens=8)
+    assert piped == fused
+
+    # and with an interleaved additional text prompt
+    piped_t = eng.generate_audio_response_batch(
+        audios, additional_text_prompt="Summarize: ", max_new_tokens=8
+    )
+    fused_t = eng2.generate_audio_response_batch(
+        audios, additional_text_prompt="Summarize: ", max_new_tokens=8
+    )
+    assert piped_t == fused_t
