@@ -71,14 +71,16 @@ class LLMSpeechTextInference:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
-        bucket: int = 128,
+        bucket: int = 64,
         decode_bucket: int = 64,
     ):
         self.config = config
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
-        self.bucket = bucket  # prefill-length bucket (128 = flash-kernel tile)
+        self.bucket = bucket  # prefill-length bucket (64-granular: the flash
+        # kernel runs full-T blocks for T ≤ 512, so finer buckets cut padded
+        # prefill FLOPs — 384 → 320 on the 10 s workload, ~17% less prefill)
         self.decode_bucket = decode_bucket  # max_new_tokens bucket
         self.dtype = jnp.dtype(config.model.compute_dtype)
         self.cache_dtype = jnp.dtype(config.model.kv_cache_dtype or config.model.compute_dtype)

@@ -430,6 +430,7 @@ def llama_forward(
     is_prefill = kv_cache is not None and kv_valid is None and kv_pad_lens is None
     is_decode = kv_cache is not None and not is_prefill
 
+    use_flash_T = T % 64 == 0  # kernels/flash_attention.py::_pick_block tiles
     if not is_decode:
         # training / teacher / prefill: causal over the fresh T keys only
         if ring_mesh is not None:
@@ -441,7 +442,7 @@ def llama_forward(
             assert T % n_seq == 0, f"T={T} not divisible by {ring_axis}={n_seq}"
             pad_lens = (T - jnp.sum(attn_mask.astype(jnp.int32), axis=1)).astype(jnp.int32)
             attn_kind, attn_args = "ring", (pad_lens,)
-        elif use_pallas and T % 128 == 0:
+        elif use_pallas and use_flash_T:
             # left-padded window [pad_len, T)
             pad_lens = (T - jnp.sum(attn_mask.astype(jnp.int32), axis=1)).astype(jnp.int32)
             attn_kind, attn_args = "flash", (pad_lens, jnp.full((B,), T, jnp.int32))

@@ -215,3 +215,31 @@ def test_flash_attention_backward_dh64():
             np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
             err_msg=f"d{name} mismatch",
         )
+
+
+@pytest.mark.parametrize("T", [320, 64, 192])
+def test_flash_attention_64_granular_tiles(T):
+    """Full-T / 64-granular blocks (the prefill bucket is 64 now): parity
+    with XLA at shapes that are NOT 128-multiples."""
+    B, Hq, Hkv, Dh = 2, 4, 2, 128
+    rng = np.random.RandomState(3)
+    q = rng.randn(B, T, Hq, Dh).astype(np.float32)
+    k = rng.randn(B, T, Hkv, Dh).astype(np.float32)
+    v = rng.randn(B, T, Hkv, Dh).astype(np.float32)
+    starts = np.array([0, T // 3], np.int32)
+    ends = np.array([T, T], np.int32)
+
+    from llm_speech_summarization_tpu.kernels.flash_attention import _pick_block
+
+    assert _pick_block(T) == T  # full-T single block
+
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(starts), jnp.asarray(ends), causal=True, interpret=True,
+    )
+    pos = np.arange(T)[None, :]
+    valid = (pos >= starts[:, None]) & (pos < ends[:, None])
+    bias = make_attention_bias(jnp.asarray(valid), jnp.asarray(valid), causal=True)
+    ref = dot_product_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), bias)
+    diff = np.abs(np.asarray(out) - np.asarray(ref)) * valid[:, :, None, None]
+    assert diff.max() < 5e-5
