@@ -1,0 +1,191 @@
+"""Paged KV cache: fixed-size pages, host-side allocator, device pools.
+
+The slot cache (infer/slots.py) reserves `max_len` cache rows per slot; a
+paged cache allocates `ceil(len / page_size)` pages as a sequence grows, so
+heterogeneous-length loads share one pool (SURVEY.md §2.2 "decode attention
++ paged KV cache"; the vLLM idea, shaped for TPU: static pool shapes, page
+reads as Pallas DMAs — kernels/paged_attention.py — and page writes as
+XLA scatters, everything jit-compatible).
+
+Layout: pools are (L, Hkv, P, page_size, Dh) — per (layer, head) a page is
+a contiguous (page_size, Dh) slab, one DMA burst. The page table, lengths
+and pads are small int32 arrays; the free list lives on the host (the
+allocator runs between jitted calls, like the slot scheduler's admission).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class PagedKVCache(NamedTuple):
+    k_pool: jnp.ndarray  # (L, Hkv, P, ps, Dh)
+    v_pool: jnp.ndarray  # (L, Hkv, P, ps, Dh)
+    page_table: jnp.ndarray  # (B, max_pages) int32 (0-padded)
+    lengths: jnp.ndarray  # (B,) int32 tokens written per row
+    pad_lens: jnp.ndarray  # (B,) int32 left-pad inside the logical sequence
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pool.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pool.shape[2]
+
+
+def init_paged_cache(
+    num_layers: int,
+    num_kv_heads: int,
+    head_dim: int,
+    *,
+    num_pages: int,
+    page_size: int = 64,
+    batch: int,
+    max_pages_per_seq: int,
+    dtype=jnp.bfloat16,
+) -> PagedKVCache:
+    shape = (num_layers, num_kv_heads, num_pages, page_size, head_dim)
+    return PagedKVCache(
+        k_pool=jnp.zeros(shape, dtype),
+        v_pool=jnp.zeros(shape, dtype),
+        page_table=jnp.zeros((batch, max_pages_per_seq), jnp.int32),
+        lengths=jnp.zeros((batch,), jnp.int32),
+        pad_lens=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+class PageAllocator:
+    """Host-side free-list allocator over pool page ids.
+
+    Page 0 is reserved as the null page (page tables are 0-padded and the
+    kernel reads — and masks — page 0 for rows past their last page), so
+    allocation starts at id 1.
+    """
+
+    def __init__(self, num_pages: int):
+        self.num_pages = num_pages
+        self._free: List[int] = list(range(num_pages - 1, 0, -1))  # pop() -> 1 first
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> List[int]:
+        if n > len(self._free):
+            raise MemoryError(f"paged cache exhausted: want {n}, free {len(self._free)}")
+        return [self._free.pop() for _ in range(n)]
+
+    def free(self, pages) -> None:
+        for p in pages:
+            if p:  # never recycle the null page
+                self._free.append(int(p))
+
+
+def pages_needed(num_tokens: int, page_size: int) -> int:
+    return -(-num_tokens // page_size)
+
+
+@jax.jit
+def write_prefill_pages(
+    cache: PagedKVCache,
+    row: jnp.ndarray,  # scalar int32: which page-table row
+    pages: jnp.ndarray,  # (n_pages,) int32 page ids for this sequence
+    k_toks: jnp.ndarray,  # (L, T, Hkv, Dh) prefill keys (T = n_pages * ps)
+    v_toks: jnp.ndarray,
+    pad_len: jnp.ndarray,  # scalar int32
+) -> PagedKVCache:
+    """Scatter a prefilled sequence's K/V into its pages and install the
+    page table row. T must be padded to a page multiple (engines bucket
+    prompt lengths anyway); `pad_len` marks the left padding inside it."""
+    L, T, Hkv, Dh = k_toks.shape
+    ps = cache.page_size
+    n = pages.shape[0]
+    # (L, T, Hkv, Dh) -> (L, Hkv, n, ps, Dh)
+    kp = k_toks.transpose(0, 2, 1, 3).reshape(L, Hkv, n, ps, Dh).astype(cache.k_pool.dtype)
+    vp = v_toks.transpose(0, 2, 1, 3).reshape(L, Hkv, n, ps, Dh).astype(cache.v_pool.dtype)
+    k_pool = cache.k_pool.at[:, :, pages].set(kp)
+    v_pool = cache.v_pool.at[:, :, pages].set(vp)
+    table_row = jnp.zeros((cache.page_table.shape[1],), jnp.int32).at[:n].set(pages)
+    return PagedKVCache(
+        k_pool=k_pool,
+        v_pool=v_pool,
+        page_table=cache.page_table.at[row].set(table_row),
+        lengths=cache.lengths.at[row].set(T),
+        pad_lens=cache.pad_lens.at[row].set(pad_len),
+    )
+
+
+@jax.jit
+def write_decode_token(
+    cache: PagedKVCache,
+    active: jnp.ndarray,  # (B,) bool: rows that actually decoded this step
+    k_new: jnp.ndarray,  # (L, B, Hkv, Dh)
+    v_new: jnp.ndarray,
+) -> PagedKVCache:
+    """Append one token per active row at its current length (the page for
+    that position must already be in the row's table — grow_pages handles
+    page-boundary crossings between steps, on the host)."""
+    L, B, Hkv, Dh = k_new.shape
+    ps = cache.page_size
+    pos = cache.lengths  # (B,) write position
+    page_idx = pos // ps
+    slot = pos % ps
+    pid = jnp.take_along_axis(cache.page_table, page_idx[:, None], axis=1)[:, 0]
+    # inactive rows write the null page (id 0) at their current slot — page 0
+    # is never referenced by a valid table entry, so this is a safe no-op sink
+    pid = jnp.where(active, pid, 0)
+    b_idx = jnp.arange(B)
+    k_pool = cache.k_pool.at[:, :, pid, slot].set(
+        k_new.transpose(0, 2, 1, 3).astype(cache.k_pool.dtype)
+    )
+    v_pool = cache.v_pool.at[:, :, pid, slot].set(
+        v_new.transpose(0, 2, 1, 3).astype(cache.v_pool.dtype)
+    )
+    del b_idx
+    return PagedKVCache(
+        k_pool=k_pool,
+        v_pool=v_pool,
+        page_table=cache.page_table,
+        lengths=jnp.where(active, cache.lengths + 1, cache.lengths),
+        pad_lens=cache.pad_lens,
+    )
+
+
+def grow_pages(
+    cache: PagedKVCache,
+    allocator: PageAllocator,
+    active_rows: List[int],
+) -> Tuple[PagedKVCache, bool]:
+    """Host-side step between decode chunks: every active row whose NEXT
+    token would cross into an unallocated page gets one. Returns (cache,
+    grew) — the table update is a tiny host round-trip only when needed."""
+    lengths = np.asarray(cache.lengths)
+    table = None
+    ps = cache.page_size
+    for b in active_rows:
+        page_idx = int(lengths[b]) // ps
+        if int(lengths[b]) % ps == 0:
+            if table is None:
+                table = np.asarray(cache.page_table).copy()
+            if table[b, page_idx] == 0:
+                (pid,) = allocator.alloc(1)
+                table[b, page_idx] = pid
+    if table is None:
+        return cache, False
+    return cache._replace(page_table=jnp.asarray(table)), True
+
+
+def free_row(cache: PagedKVCache, allocator: PageAllocator, row: int) -> PagedKVCache:
+    """Return a finished row's pages to the allocator and clear its table."""
+    table = np.asarray(cache.page_table)
+    allocator.free(table[row][table[row] != 0].tolist())
+    return cache._replace(
+        page_table=cache.page_table.at[row].set(0),
+        lengths=cache.lengths.at[row].set(0),
+        pad_lens=cache.pad_lens.at[row].set(0),
+    )

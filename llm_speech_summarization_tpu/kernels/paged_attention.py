@@ -1,0 +1,254 @@
+"""Pallas TPU paged decode attention: KV cache as scattered fixed-size pages.
+
+Completes SURVEY.md §2.2's "decode attention + paged KV cache" row (the
+reference gets a contiguous HF cache and no paging at all; paging is the
+vLLM/JetStream serving idea re-done TPU-style). The slot cache
+(infer/slots.py) reserves max_len per slot; pages drop that to
+ceil(len/page_size) pages per sequence, so heterogeneous-length loads pack
+~S_max/mean_len× more sequences into the same HBM.
+
+Design (the part BlockSpecs cannot express): each sequence's pages are
+SCATTERED in the pool, and fused-fat-row programs (the thing that made the
+dense decode kernel fast — kernels/decode_attention.py) need a different
+page per row per step. Block index_maps return one block per operand, so
+the page fetches are manual double-buffered DMAs instead:
+
+  * pools live in ANY (= HBM) memory space: (Hkv, P, page_size, Dh), the
+    in-page sequence axis contiguous per head so each DMA is one burst;
+  * grid is (R/bb,) over fused rows R = B·Hkv (bb ≤ 8 rows per program);
+  * per page-step t, each row r issues async copies of its page
+    pool[h_r, page_table[b_r, t]] into VMEM k/v buffers — double-buffered,
+    so page t+1 streams while page t computes;
+  * validity is arithmetic: global position t·ps + slot is valid iff
+    pad[b] ≤ pos < length[b]; rows past their last page copy page 0 and
+    mask everything;
+  * the fresh (just-computed) k/v token rides in VMEM like the dense
+    kernel's kn/vn and folds into the online softmax last; the caller
+    scatters it into the pool after the layer scan (write-outside-scan,
+    same O(1)-write rule as the dense cache).
+
+The XLA fallback (`paged_reference`) gathers pages into a dense cache and
+runs masked attention — used on non-TPU backends and as the parity oracle
+(tests/test_paged.py, interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def paged_reference(q, k_pool, v_pool, page_table, lengths, pad_lens, k_new, v_new):
+    """XLA oracle: gather each sequence's pages into a dense cache, run
+    masked attention over [pad, length) plus the fresh token."""
+    B = q.shape[0]
+    Hkv, P, ps, Dh = k_pool.shape
+    mp = page_table.shape[1]
+    S = mp * ps
+    # (B, mp) pages -> dense (B, Hkv, S, Dh)
+    kg = k_pool[:, page_table]  # (Hkv, B, mp, ps, Dh)
+    vg = v_pool[:, page_table]
+    kd = kg.transpose(1, 0, 2, 3, 4).reshape(B, Hkv, S, Dh)
+    vd = vg.transpose(1, 0, 2, 3, 4).reshape(B, Hkv, S, Dh)
+
+    Hq = q.shape[2]
+    group = Hq // Hkv
+    qg = q.reshape(B, Hkv, group, Dh)
+    s = jnp.einsum("bhgd,bhsd->bhgs", qg, kd.astype(q.dtype),
+                   preferred_element_type=jnp.float32) * (Dh ** -0.5)
+    pos = jnp.arange(S, dtype=jnp.int32)
+    valid = (pos[None, :] >= pad_lens[:, None]) & (pos[None, :] < lengths[:, None])
+    s = jnp.where(valid[:, None, None, :], s, NEG_INF)
+    s_new = jnp.einsum("bhgd,bhd->bhg", qg, k_new[:, 0].astype(q.dtype),
+                       preferred_element_type=jnp.float32)[..., None] * (Dh ** -0.5)
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_new)
+    p = jnp.exp(s - m)
+    p_new = jnp.exp(s_new - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + p_new
+    pv = jnp.einsum("bhgs,bhsd->bhgd", p.astype(q.dtype), vd.astype(q.dtype),
+                    preferred_element_type=jnp.float32)
+    pv = pv + p_new * v_new[:, 0][:, :, None, :].astype(jnp.float32)
+    return (pv / denom).reshape(B, 1, Hq, Dh).astype(q.dtype)
+
+
+def _paged_kernel(
+    scal_ref,  # (B*mp + 2B,) int32: [page_table | lengths | pads]
+    q_ref,  # (bb, G, Dh) VMEM
+    kn_ref,  # (bb, 1, Dh) fresh key
+    vn_ref,  # (bb, 1, Dh) fresh value
+    k_pool_ref,  # (Hkv, P, ps, Dh) ANY (HBM)
+    v_pool_ref,
+    o_ref,  # (bb, G, Dh)
+    k_buf,  # (2, bb, ps, Dh) VMEM scratch (double buffer)
+    v_buf,
+    sem,  # DMA semaphores (2, 2, bb)
+    *,
+    bb: int,
+    ps: int,
+    max_pages: int,
+    Hkv: int,
+    scale: float,
+):
+    i = pl.program_id(0)
+    R = pl.num_programs(0) * bb
+    B = R // Hkv
+    mp = max_pages
+
+    def row_b(r):
+        return (i * bb + r) // Hkv
+
+    def row_h(r):
+        return (i * bb + r) % Hkv
+
+    def issue(t, slot):
+        """Start DMAs of page-step t for all rows into buffer `slot`."""
+        for r in range(bb):
+            pid = scal_ref[row_b(r) * mp + t]
+            pltpu.make_async_copy(
+                k_pool_ref.at[row_h(r), pid], k_buf.at[slot, r], sem.at[slot, 0, r]
+            ).start()
+            pltpu.make_async_copy(
+                v_pool_ref.at[row_h(r), pid], v_buf.at[slot, r], sem.at[slot, 1, r]
+            ).start()
+
+    def wait(t, slot):
+        for r in range(bb):
+            pid = scal_ref[row_b(r) * mp + t]
+            pltpu.make_async_copy(
+                k_pool_ref.at[row_h(r), pid], k_buf.at[slot, r], sem.at[slot, 0, r]
+            ).wait()
+            pltpu.make_async_copy(
+                v_pool_ref.at[row_h(r), pid], v_buf.at[slot, r], sem.at[slot, 1, r]
+            ).wait()
+
+    q = q_ref[:]  # (bb, G, Dh)
+
+    issue(0, 0)
+
+    m0 = jnp.full((bb, q.shape[1], 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bb, q.shape[1], 1), jnp.float32)
+    acc0 = jnp.zeros((bb, q.shape[1], q.shape[2]), jnp.float32)
+
+    carry = (m0, l0, acc0)
+    # static unroll over pages: max_pages is small (S_max / ps) and the DMA
+    # issue loop needs static row indices anyway
+    for t in range(max_pages):
+        slot = t % 2
+        if t + 1 < max_pages:
+            issue(t + 1, (t + 1) % 2)
+        wait(t, slot)
+        k = k_buf[slot]  # (bb, ps, Dh)
+        v = v_buf[slot]
+        m, l, acc = carry
+        s = jax.lax.dot_general(
+            q, k.astype(q.dtype),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (bb, G, ps)
+        pos = t * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
+        masks = [
+            (pos >= scal_ref[B * mp + B + row_b(r)])
+            & (pos < scal_ref[B * mp + row_b(r)])
+            for r in range(bb)
+        ]
+        valid = jnp.stack(masks, axis=0)  # (bb, 1, ps)
+        s = jnp.where(valid, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc = alpha * acc + jax.lax.dot_general(
+            p.astype(q.dtype), v.astype(q.dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        carry = (m_new, l, acc)
+
+    # fresh token folds in last (always valid)
+    m, l, acc = carry
+    s_new = jax.lax.dot_general(
+        q, kn_ref[:].astype(q.dtype),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bb, G, 1)
+    m_new = jnp.maximum(m, s_new)
+    alpha = jnp.exp(m - m_new)
+    p_new = jnp.exp(s_new - m_new)
+    l = alpha * l + p_new
+    acc = alpha * acc + p_new * vn_ref[:].astype(jnp.float32)
+    o_ref[:] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_decode_attention(
+    q: jnp.ndarray,  # (B, 1, Hq, Dh)
+    k_pool: jnp.ndarray,  # (Hkv, P, page_size, Dh)
+    v_pool: jnp.ndarray,
+    page_table: jnp.ndarray,  # (B, max_pages) int32 page ids (0-padded)
+    lengths: jnp.ndarray,  # (B,) int32: tokens already in pages (per row)
+    pad_lens: jnp.ndarray,  # (B,) int32: left-pad inside the logical seq
+    k_new: jnp.ndarray,  # (B, 1, Hkv, Dh) fresh token (not yet in pages)
+    v_new: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One decode step of attention over a paged KV cache; returns
+    (B, 1, Hq, Dh). The caller scatters k_new/v_new into the pool after the
+    layer scan (write-outside-scan)."""
+    B, _, Hq, Dh = q.shape
+    Hkv, P, ps, _ = k_pool.shape
+    assert Hq % Hkv == 0
+    group = Hq // Hkv
+    mp = page_table.shape[1]
+
+    if jax.default_backend() != "tpu" and not interpret:
+        return paged_reference(q, k_pool, v_pool, page_table, lengths, pad_lens, k_new, v_new)
+
+    R = B * Hkv
+    bb = 8
+    while bb > 1 and R % bb != 0:
+        bb -= 1
+
+    qg = q.reshape(B, Hkv, group, Dh).reshape(R, group, Dh)
+    kn = k_new.astype(q.dtype).reshape(R, 1, Dh)
+    vn = v_new.astype(q.dtype).reshape(R, 1, Dh)
+    scalars = jnp.concatenate(
+        [
+            page_table.astype(jnp.int32).reshape(-1),
+            lengths.astype(jnp.int32),
+            pad_lens.astype(jnp.int32),
+        ]
+    )
+
+    row_block = lambda i, scal: (i, 0, 0)  # noqa: E731
+    kernel = functools.partial(
+        _paged_kernel, bb=bb, ps=ps, max_pages=mp, Hkv=Hkv, scale=Dh ** -0.5
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(R // bb,),
+            in_specs=[
+                pl.BlockSpec((bb, group, Dh), row_block),
+                pl.BlockSpec((bb, 1, Dh), row_block),
+                pl.BlockSpec((bb, 1, Dh), row_block),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((bb, group, Dh), row_block),
+            scratch_shapes=[
+                pltpu.VMEM((2, bb, ps, Dh), k_pool.dtype),
+                pltpu.VMEM((2, bb, ps, Dh), v_pool.dtype),
+                pltpu.SemaphoreType.DMA((2, 2, bb)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, group, Dh), q.dtype),
+        interpret=interpret,
+    )(scalars, qg, kn, vn, k_pool, v_pool)
+    return out.reshape(B, Hkv, group, Dh).reshape(B, 1, Hq, Dh)

@@ -1,0 +1,182 @@
+"""Paged KV cache: kernel parity, allocator, and dense-cache equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_speech_summarization_tpu.infer.paged import (
+    PageAllocator,
+    free_row,
+    grow_pages,
+    init_paged_cache,
+    pages_needed,
+    write_decode_token,
+    write_prefill_pages,
+)
+from llm_speech_summarization_tpu.kernels.paged_attention import (
+    paged_decode_attention,
+    paged_reference,
+)
+from llm_speech_summarization_tpu.ops.attention import (
+    dot_product_attention,
+    make_attention_bias,
+)
+
+
+def _random_paged_case(seed=0, B=2, Hq=4, Hkv=2, Dh=128, ps=64, mp=3):
+    """Random pool + tables with per-row lengths/pads and a fresh token."""
+    rng = np.random.RandomState(seed)
+    P = 1 + B * mp
+    k_pool = rng.randn(Hkv, P, ps, Dh).astype(np.float32)
+    v_pool = rng.randn(Hkv, P, ps, Dh).astype(np.float32)
+    # distinct pages per row (page 0 reserved/null)
+    ids = np.arange(1, 1 + B * mp).reshape(B, mp).astype(np.int32)
+    lengths = np.array([ps * mp - 7, ps + 3], np.int32)  # partial last pages
+    pads = np.array([0, 5], np.int32)
+    q = rng.randn(B, 1, Hq, Dh).astype(np.float32)
+    k_new = rng.randn(B, 1, Hkv, Dh).astype(np.float32)
+    v_new = rng.randn(B, 1, Hkv, Dh).astype(np.float32)
+    return map(jnp.asarray, (q, k_pool, v_pool, ids, lengths, pads, k_new, v_new))
+
+
+def test_paged_reference_matches_dense_attention():
+    """The XLA paged oracle == plain masked attention over the gathered
+    dense cache + fresh token (independent construction)."""
+    q, k_pool, v_pool, ids, lengths, pads, k_new, v_new = _random_paged_case()
+    out = paged_reference(q, k_pool, v_pool, ids, lengths, pads, k_new, v_new)
+
+    B, _, Hq, Dh = q.shape
+    Hkv, _, ps, _ = k_pool.shape
+    mp = ids.shape[1]
+    S = mp * ps
+    kd = np.zeros((B, S + 1, Hkv, Dh), np.float32)
+    vd = np.zeros((B, S + 1, Hkv, Dh), np.float32)
+    for b in range(B):
+        for t in range(mp):
+            kd[b, t * ps : (t + 1) * ps] = np.asarray(k_pool)[:, ids[b, t]].transpose(1, 0, 2)
+            vd[b, t * ps : (t + 1) * ps] = np.asarray(v_pool)[:, ids[b, t]].transpose(1, 0, 2)
+    kd[:, S] = np.asarray(k_new)[:, 0]
+    vd[:, S] = np.asarray(v_new)[:, 0]
+
+    pos = np.arange(S + 1)[None, :]
+    kv_valid = ((pos >= np.asarray(pads)[:, None]) & (pos < np.asarray(lengths)[:, None])) | (
+        pos == S
+    )
+    bias = make_attention_bias(
+        jnp.ones((B, 1), bool), jnp.asarray(kv_valid), causal=False
+    )
+    ref = dot_product_attention(q, jnp.asarray(kd), jnp.asarray(vd), bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_kernel_matches_reference_interpret():
+    """Pallas kernel (manual double-buffered page DMAs) == XLA oracle."""
+    q, k_pool, v_pool, ids, lengths, pads, k_new, v_new = _random_paged_case(seed=1)
+    out_k = paged_decode_attention(
+        q, k_pool, v_pool, ids, lengths, pads, k_new, v_new, interpret=True
+    )
+    out_r = paged_reference(q, k_pool, v_pool, ids, lengths, pads, k_new, v_new)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_kernel_bf16_interpret():
+    q, k_pool, v_pool, ids, lengths, pads, k_new, v_new = _random_paged_case(seed=2)
+    cast = lambda x: x.astype(jnp.bfloat16)  # noqa: E731
+    out_k = paged_decode_attention(
+        cast(q), cast(k_pool), cast(v_pool), ids, lengths, pads,
+        cast(k_new), cast(v_new), interpret=True,
+    )
+    out_r = paged_reference(
+        cast(q), cast(k_pool), cast(v_pool), ids, lengths, pads, cast(k_new), cast(v_new)
+    )
+    diff = np.abs(
+        np.asarray(out_k, np.float32) - np.asarray(out_r, np.float32)
+    )
+    assert diff.max() < 2e-2, diff.max()
+
+
+def test_page_allocator():
+    a = PageAllocator(8)  # pages 1..7 usable
+    assert a.free_pages == 7
+    got = a.alloc(3)
+    assert got == [1, 2, 3]
+    a.free([2])
+    assert a.free_pages == 5
+    assert a.alloc(1) == [2]
+    with pytest.raises(MemoryError):
+        a.alloc(10)
+    a.free([0])  # null page never recycled
+    assert a.free_pages == 4
+    assert pages_needed(1, 64) == 1 and pages_needed(64, 64) == 1 and pages_needed(65, 64) == 2
+
+
+def test_paged_cache_roundtrip_matches_dense():
+    """Prefill-write + decode-append + paged attention == dense cache math,
+    end to end through the cache manager."""
+    L, Hkv, Hq, Dh, ps, mp, B = 2, 2, 4, 128, 64, 3, 2
+    cache = init_paged_cache(
+        L, Hkv, Dh, num_pages=16, page_size=ps, batch=B, max_pages_per_seq=mp,
+        dtype=jnp.float32,
+    )
+    alloc = PageAllocator(16)
+    rng = np.random.RandomState(0)
+
+    T = 2 * ps  # prefill length (page multiple)
+    dense_k = np.zeros((B, L, T + 4, Hkv, Dh), np.float32)
+    dense_v = np.zeros((B, L, T + 4, Hkv, Dh), np.float32)
+    pads = [0, 9]
+    for b in range(B):
+        kt = rng.randn(L, T, Hkv, Dh).astype(np.float32)
+        vt = rng.randn(L, T, Hkv, Dh).astype(np.float32)
+        pages = alloc.alloc(pages_needed(T, ps))
+        cache = write_prefill_pages(
+            cache, jnp.int32(b), jnp.asarray(pages, jnp.int32),
+            jnp.asarray(kt), jnp.asarray(vt), jnp.int32(pads[b]),
+        )
+        dense_k[b, :, :T] = kt.transpose(0, 1, 2, 3)
+        dense_v[b, :, :T] = vt.transpose(0, 1, 2, 3)
+
+    # two decode appends (second crosses a page boundary at T+1? no: T is a
+    # page multiple, so the FIRST append needs a fresh page via grow_pages)
+    n_appended = 0
+    for step in range(2):
+        cache, grew = grow_pages(cache, alloc, active_rows=list(range(B)))
+        if step == 0:
+            assert grew  # lengths sit exactly at a page boundary
+        k_new = rng.randn(L, B, Hkv, Dh).astype(np.float32)
+        v_new = rng.randn(L, B, Hkv, Dh).astype(np.float32)
+        cache = write_decode_token(
+            cache, jnp.ones((B,), bool), jnp.asarray(k_new), jnp.asarray(v_new)
+        )
+        dense_k[:, :, T + step] = k_new.transpose(1, 0, 2, 3)
+        dense_v[:, :, T + step] = v_new.transpose(1, 0, 2, 3)
+        n_appended += 1
+
+    assert np.asarray(cache.lengths).tolist() == [T + n_appended] * B
+
+    # attention through the paged path (XLA fallback on CPU) vs dense math
+    q = jnp.asarray(rng.randn(B, 1, Hq, Dh).astype(np.float32))
+    k_fresh = jnp.asarray(rng.randn(B, 1, Hkv, Dh).astype(np.float32))
+    v_fresh = jnp.asarray(rng.randn(B, 1, Hkv, Dh).astype(np.float32))
+    for layer in range(L):
+        out = paged_decode_attention(
+            q, cache.k_pool[layer], cache.v_pool[layer], cache.page_table,
+            cache.lengths, cache.pad_lens, k_fresh, v_fresh,
+        )
+        S = T + n_appended
+        kd = np.concatenate([dense_k[:, layer, :S], np.asarray(k_fresh)], axis=1)
+        vd = np.concatenate([dense_v[:, layer, :S], np.asarray(v_fresh)], axis=1)
+        pos = np.arange(S + 1)[None, :]
+        kv_valid = (
+            (pos >= np.asarray(cache.pad_lens)[:, None]) & (pos < S)
+        ) | (pos == S)
+        bias = make_attention_bias(jnp.ones((B, 1), bool), jnp.asarray(kv_valid), causal=False)
+        ref = dot_product_attention(q, jnp.asarray(kd), jnp.asarray(vd), bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    # freeing a row returns its pages
+    before = alloc.free_pages
+    cache = free_row(cache, alloc, 0)
+    assert alloc.free_pages == before + 3  # 2 prefill pages + 1 grown
+    assert int(cache.lengths[0]) == 0
