@@ -135,13 +135,21 @@ class KVCache(NamedTuple):
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+    # every field gets its OWN buffer: sharing one zeros array between
+    # k_scale and v_scale made any donating caller (infer/slots.py) fail
+    # with "attempt to donate the same buffer twice"
+    def zeros(shape, dt):
+        return jnp.zeros(shape, dt) + 0  # defeat constant aliasing/caching
+
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     if jnp.dtype(dtype) == jnp.int8:
-        scale = jnp.zeros(shape[:-1], jnp.bfloat16)
         return KVCache(
-            jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8), scale, scale
+            zeros(shape, jnp.int8),
+            zeros(shape, jnp.int8),
+            zeros(shape[:-1], jnp.bfloat16),
+            zeros(shape[:-1], jnp.bfloat16),
         )
-    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+    return KVCache(zeros(shape, dtype), zeros(shape, dtype))
 
 
 def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

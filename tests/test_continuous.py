@@ -141,3 +141,33 @@ def test_continuous_audio_requests(engine):
         assert results[0] == want[0] and results[1] == want[1]
     finally:
         cb.shutdown()
+
+
+def test_slot_decoder_int8_cache_donation():
+    """int8 slot caches must survive donating jitted calls — round 2's
+    init_kv_cache aliased ONE zeros buffer as both k_scale and v_scale,
+    so the first donated decode_chunk raised 'attempt to donate the same
+    buffer twice' (only on int8: bf16 caches have no scale fields)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llm_speech_summarization_tpu.infer.slots import SlotDecoder
+    from llm_speech_summarization_tpu.models.llama import (
+        init_llama_params,
+        llama_preset,
+    )
+
+    cfg = llama_preset("tiny")
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    dec = SlotDecoder(params, cfg, eos_id=0, n_slots=4, max_prompt_len=64,
+                      max_new_tokens=8, cache_dtype=jnp.int8)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, cfg.vocab_size, (2, 16))
+    embeds = params["embed_tokens"][jnp.asarray(ids)]
+    dec.admit(embeds, jnp.ones((2, 16), bool), [0, 1], [8, 8])
+    dec.decode_chunk(4)
+    dec.decode_chunk(4)
+    got = dec.harvest()
+    assert sorted(s for s, _, _ in got) == [0, 1]
+    assert all(n == 8 for _, _, n in got)
