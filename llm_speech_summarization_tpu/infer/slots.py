@@ -81,8 +81,28 @@ class SlotDecoder:
 
     # ------------------------------------------------------------------
 
-    def free_slots(self) -> List[int]:
-        return [int(i) for i in np.nonzero(np.asarray(self.state.done))[0]]
+    def sync_flags(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(done, budgets, n_emitted) in ONE device→host transfer.
+
+        On remote-dispatch backends every host read is an RPC round-trip
+        (~100-200 ms here); free_slots/live_count/harvest each pulling their
+        own arrays made the scheduler loop transfer-bound. Callers fetch
+        once per loop and pass the copies down."""
+        stacked = np.asarray(
+            jnp.stack(
+                [
+                    self.state.done.astype(jnp.int32),
+                    self.state.budgets,
+                    self.state.n_emitted,
+                ]
+            )
+        )
+        return stacked[0].astype(bool), stacked[1], stacked[2]
+
+    def free_slots(self, done: Optional[np.ndarray] = None) -> List[int]:
+        if done is None:
+            done = np.asarray(self.state.done)
+        return [int(i) for i in np.nonzero(done)[0]]
 
     def admit(
         self,
@@ -106,23 +126,28 @@ class SlotDecoder:
     def decode_chunk(self, k_steps: int = 8) -> None:
         self.state = self._chunk_fn(k_steps)(self.params, self.state)
 
-    def harvest(self) -> List[Tuple[int, np.ndarray, int]]:
+    def harvest(
+        self,
+        flags: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+    ) -> List[Tuple[int, np.ndarray, int]]:
         """(slot, tokens, n) for every finished row with pending output.
-        Frees the slots (budget→0 marks them reusable)."""
-        done = np.asarray(self.state.done)
-        budgets = np.asarray(self.state.budgets)
+        Frees the slots (budget→0 marks them reusable). Pass ``flags`` from
+        sync_flags() to avoid extra host transfers."""
+        done, budgets, counts_all = flags if flags is not None else self.sync_flags()
         ready = np.nonzero(done & (budgets > 0))[0]
         if ready.size == 0:
             return []
         tokens = np.asarray(self.state.tokens[ready])
-        counts = np.asarray(self.state.n_emitted[ready])
+        counts = counts_all[ready]
         self.state = self.state._replace(
             budgets=self.state.budgets.at[jnp.asarray(ready)].set(0)
         )
         return [(int(s), tokens[i], int(counts[i])) for i, s in enumerate(ready)]
 
-    def live_count(self) -> int:
-        return int(np.sum(~np.asarray(self.state.done)))
+    def live_count(self, done: Optional[np.ndarray] = None) -> int:
+        if done is None:
+            done = np.asarray(self.state.done)
+        return int(np.sum(~done))
 
     # ------------------------------------------------------------------
 

@@ -143,10 +143,11 @@ class ContinuousBatchingEngine:
         self,
         engine,
         n_slots: int = 32,
-        chunk_steps: int = 8,
+        chunk_steps: int = 16,
         max_prompt_len: int = 512,
         max_new_tokens: int = 256,
         max_admit: int = 8,
+        admit_wait_ms: float = 100.0,
     ):
         import jax.numpy as jnp
 
@@ -154,7 +155,8 @@ class ContinuousBatchingEngine:
 
         self.engine = engine
         self.chunk_steps = chunk_steps
-        self.max_admit = max_admit
+        self.max_admit = min(max_admit, n_slots)  # a wave must fit the slots
+        self.admit_wait_s = admit_wait_ms / 1000.0
         self.decoder = SlotDecoder(
             engine.llm_params,
             engine.llm_cfg,
@@ -165,10 +167,14 @@ class ContinuousBatchingEngine:
             cache_dtype=engine.cache_dtype,
         )
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._prepared: "queue.Queue" = queue.Queue()
+        self._pending_wave = None
         self._by_slot: Dict[int, _Request] = {}
         self._stop = threading.Event()
         self.batches_run = 0  # decode chunks run
         self.requests_served = 0
+        self._builder = threading.Thread(target=self._build_loop, daemon=True)
+        self._builder.start()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -180,45 +186,104 @@ class ContinuousBatchingEngine:
             raise RuntimeError(req.error)
         return req.result  # type: ignore[return-value]
 
+    def warmup(self, audio_seconds: float = 10.0, timeout: float = 600.0) -> None:
+        """Pre-compile every admission batch shape (standard TPU-serving
+        practice — JetStream-style warmup). Admission waves admit whatever
+        fits the free slots, so under real load EVERY power-of-two prompt/
+        prefill shape up to max_admit eventually occurs; without warmup each
+        first occurrence stalls live traffic for an XLA compile (~20-40 s
+        on a tunneled backend). Dummy requests run through the REAL queue so
+        there is no racing with the scheduler thread."""
+        sr = self.engine.config.audio.sampling_rate
+        wav = np.zeros(int(audio_seconds * sr), np.float32)
+        n = 1
+        sizes = []
+        while n <= self.max_admit:
+            sizes.append(n)
+            n *= 2
+        for size in sizes:
+            reqs = [
+                _Request(kind="audio", payload=wav, text_prompt="", max_new_tokens=2)
+                for _ in range(size)
+            ]
+            threads = [
+                threading.Thread(target=lambda r=r: self.submit(r, timeout=timeout))
+                for r in reqs
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+
     def shutdown(self):
         self._stop.set()
+        self._builder.join(timeout=5)
         self._thread.join(timeout=5)
 
     # ------------------------------------------------------------------
 
-    def _admit_wave(self):
-        """Pull compatible pending requests into free slots (one prompt
-        builder call per (kind, text_prompt) group)."""
-        free = [s for s in self.decoder.free_slots() if s not in self._by_slot]
-        if not free:
-            return
-        pending: List[_Request] = []
-        while len(pending) < min(len(free), self.max_admit):
+    def _build_loop(self):
+        """Builder thread: coalesce raw requests into waves and run the
+        prompt builders (host upload + audio encoder) OFF the scheduler
+        thread, so the NEXT wave's upload overlaps the CURRENT wave's
+        decode chunks (on a tunneled backend the upload is ~1 s — fully
+        hideable). Waves coalesce up to ``admit_wait_ms``: tiny waves would
+        each pay a prompt build and, once per distinct power-of-two batch
+        shape, an XLA compile.
+        """
+        while not self._stop.is_set():
             try:
-                pending.append(self._queue.get_nowait())
+                first = self._queue.get(timeout=0.05)
             except queue.Empty:
-                break
-        if not pending:
-            return
-        # group by prompt-builder compatibility
-        groups: Dict[Any, List[_Request]] = {}
-        for r in pending:
-            groups.setdefault((r.kind, r.text_prompt), []).append(r)
-        for (kind, text_prompt), reqs in groups.items():
+                continue
+            pending = [first]
+            deadline = time.monotonic() + self.admit_wait_s
+            while len(pending) < self.max_admit:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    pending.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            groups: Dict[Any, List[_Request]] = {}
+            for r in pending:
+                groups.setdefault((r.kind, r.text_prompt), []).append(r)
+            for (kind, text_prompt), reqs in groups.items():
+                try:
+                    if kind == "text":
+                        embeds, mask = self.engine.build_text_prompt_batch(
+                            [r.payload for r in reqs]
+                        )
+                    else:
+                        embeds, mask = self.engine.build_audio_prompt_batch(
+                            [r.payload for r in reqs], additional_text_prompt=text_prompt
+                        )
+                    n = len(reqs)  # builders pad B up; admit only real rows
+                    self._prepared.put((embeds[:n], mask[:n], reqs))
+                except Exception as e:  # surface per-request
+                    for r in reqs:
+                        r.error = f"{type(e).__name__}: {e}"
+                        r.event.set()
+
+    def _admit_wave(self, done):
+        """Scatter prepared waves into free slots (prefill only — prompts
+        were built by the builder thread). ``done`` is the host copy from
+        sync_flags(); admission makes no device reads of its own."""
+        while True:
+            if self._pending_wave is None:
+                try:
+                    self._pending_wave = self._prepared.get_nowait()
+                except queue.Empty:
+                    return
+            embeds, mask, reqs = self._pending_wave
+            free = [s for s in self.decoder.free_slots(done) if s not in self._by_slot]
+            if len(free) < len(reqs):
+                return  # wait for slots to free up; decode keeps running
+            slots = free[: len(reqs)]
             try:
-                if kind == "text":
-                    embeds, mask = self.engine.build_text_prompt_batch(
-                        [r.payload for r in reqs]
-                    )
-                else:
-                    embeds, mask = self.engine.build_audio_prompt_batch(
-                        [r.payload for r in reqs], additional_text_prompt=text_prompt
-                    )
-                n = len(reqs)  # builders pad B up; admit only the real rows
-                slots = [s for s in self.decoder.free_slots() if s not in self._by_slot][:n]
-                assert len(slots) >= n
                 self.decoder.admit(
-                    embeds[:n], mask[:n], slots, [r.max_new_tokens for r in reqs]
+                    embeds, mask, slots, [r.max_new_tokens for r in reqs]
                 )
                 for s, r in zip(slots, reqs):
                     self._by_slot[s] = r
@@ -226,17 +291,26 @@ class ContinuousBatchingEngine:
                 for r in reqs:
                     r.error = f"{type(e).__name__}: {e}"
                     r.event.set()
+            self._pending_wave = None
 
     def _loop(self):
+        # ONE fused device→host flag transfer per iteration: the post-chunk
+        # sync_flags() read feeds harvest AND the next iteration's admission
+        # (remote backends pay ~100-200 ms per host read — PERF.md).
         tok = self.engine.tokenizer
+        flags = None
         while not self._stop.is_set():
-            self._admit_wave()
-            if self.decoder.live_count() == 0 and not self._by_slot:
+            if flags is None:
+                flags = self.decoder.sync_flags()
+            self._admit_wave(flags[0])
+            if not self._by_slot:
+                flags = None
                 time.sleep(0.002)
                 continue
             self.decoder.decode_chunk(self.chunk_steps)
             self.batches_run += 1
-            for slot, tokens, n in self.decoder.harvest():
+            flags = self.decoder.sync_flags()
+            for slot, tokens, n in self.decoder.harvest(flags):
                 req = self._by_slot.pop(slot, None)
                 if req is None:
                     continue
@@ -266,7 +340,7 @@ class SummarizationServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 8080,
                  max_batch: int = 32, max_wait_ms: float = 20.0,
                  continuous: bool = True, n_slots: int = 32,
-                 chunk_steps: int = 8, max_new_tokens: int = 256):
+                 chunk_steps: int = 16, max_new_tokens: int = 256):
         if continuous:
             self.batcher = ContinuousBatchingEngine(
                 engine, n_slots=n_slots, chunk_steps=chunk_steps,
@@ -276,6 +350,8 @@ class SummarizationServer:
             self.batcher = BatchingEngine(engine, max_batch, max_wait_ms)
         self.target_sr = engine.config.audio.sampling_rate
         outer = self
+
+        self.warmup = getattr(self.batcher, "warmup", lambda **kw: None)
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, fmt, *args):  # quiet

@@ -68,3 +68,22 @@ def test_byte_tokenizer_roundtrip():
     assert ids[0] == tok.bos_id
     assert tok.decode(ids) == "hello world"
     assert tok.encode("x", add_bos=False) == [ord("x")]
+
+
+def test_long_audio_config_loads():
+    """The ring-attention long-audio preset parses and is self-consistent."""
+    import os
+
+    from llm_speech_summarization_tpu.configs import load_config
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "llm_speech_summarization_tpu",
+        "configs", "yaml", "llama3_hubert_long.yaml",
+    )
+    cfg = load_config(path)
+    assert cfg.train.use_ring_attention
+    assert cfg.train.mesh.seq == 8
+    assert cfg.audio.max_seconds == 120.0
+    # every seq bucket must shard over the seq axis
+    for s in cfg.train.buckets.seq_lens:
+        assert s % cfg.train.mesh.seq == 0
