@@ -120,6 +120,34 @@ def write_prefill_pages(
     )
 
 
+def write_token(
+    cache: PagedKVCache,
+    k_new: jnp.ndarray,  # (L, B, Hkv, Dh)
+    v_new: jnp.ndarray,
+    positions: Optional[jnp.ndarray] = None,  # (B,) write slot; default lengths
+    active: Optional[jnp.ndarray] = None,  # (B,) bool; inactive → null page
+) -> PagedKVCache:
+    """Scatter one fresh token per row into its page at ``positions``
+    (lengths are NOT advanced — the caller owns progression, mirroring the
+    dense path where the decode loop owns cache offsets). Inactive rows —
+    and rows whose target page is unallocated — write the null page 0, a
+    safe sink no valid table entry references."""
+    ps = cache.page_size
+    pos = cache.lengths if positions is None else positions
+    page_idx = jnp.minimum(pos // ps, cache.page_table.shape[1] - 1)
+    slot = pos % ps
+    pid = jnp.take_along_axis(cache.page_table, page_idx[:, None], axis=1)[:, 0]
+    if active is not None:
+        pid = jnp.where(active, pid, 0)
+    k_pool = cache.k_pool.at[:, :, pid, slot].set(
+        k_new.transpose(0, 2, 1, 3).astype(cache.k_pool.dtype)
+    )
+    v_pool = cache.v_pool.at[:, :, pid, slot].set(
+        v_new.transpose(0, 2, 1, 3).astype(cache.v_pool.dtype)
+    )
+    return cache._replace(k_pool=k_pool, v_pool=v_pool)
+
+
 @jax.jit
 def write_decode_token(
     cache: PagedKVCache,
@@ -127,32 +155,48 @@ def write_decode_token(
     k_new: jnp.ndarray,  # (L, B, Hkv, Dh)
     v_new: jnp.ndarray,
 ) -> PagedKVCache:
-    """Append one token per active row at its current length (the page for
-    that position must already be in the row's table — grow_pages handles
-    page-boundary crossings between steps, on the host)."""
-    L, B, Hkv, Dh = k_new.shape
+    """Append one token per active row at its current length and advance it
+    (the page for that position must already be allocated — grow_pages
+    handles boundary crossings between chunks, on the host)."""
+    out = write_token(cache, k_new, v_new, active=active)
+    return out._replace(lengths=jnp.where(active, cache.lengths + 1, cache.lengths))
+
+
+def write_prefill_pages_batch(
+    cache: PagedKVCache,
+    rows: jnp.ndarray,  # (n,) int32 page-table rows
+    pages: jnp.ndarray,  # (n, n_pages) int32 page ids per sequence
+    k_toks: jnp.ndarray,  # (L, n, T, Hkv, Dh) — T = n_pages * ps
+    v_toks: jnp.ndarray,
+    pad_lens: jnp.ndarray,  # (n,) int32
+) -> PagedKVCache:
+    """Batched prefill write: all n admitted sequences scatter in ONE
+    program (a host loop of per-row writes would pay one dispatch RPC per
+    row on remote backends)."""
+    L, n, T, Hkv, Dh = k_toks.shape
     ps = cache.page_size
-    pos = cache.lengths  # (B,) write position
-    page_idx = pos // ps
-    slot = pos % ps
-    pid = jnp.take_along_axis(cache.page_table, page_idx[:, None], axis=1)[:, 0]
-    # inactive rows write the null page (id 0) at their current slot — page 0
-    # is never referenced by a valid table entry, so this is a safe no-op sink
-    pid = jnp.where(active, pid, 0)
-    b_idx = jnp.arange(B)
-    k_pool = cache.k_pool.at[:, :, pid, slot].set(
-        k_new.transpose(0, 2, 1, 3).astype(cache.k_pool.dtype)
+    np_ = pages.shape[1]
+    kp = (
+        k_toks.transpose(0, 3, 1, 2, 4)
+        .reshape(L, Hkv, n, np_, ps, Dh)
+        .reshape(L, Hkv, n * np_, ps, Dh)
+        .astype(cache.k_pool.dtype)
     )
-    v_pool = cache.v_pool.at[:, :, pid, slot].set(
-        v_new.transpose(0, 2, 1, 3).astype(cache.v_pool.dtype)
+    vp = (
+        v_toks.transpose(0, 3, 1, 2, 4)
+        .reshape(L, Hkv, n, np_, ps, Dh)
+        .reshape(L, Hkv, n * np_, ps, Dh)
+        .astype(cache.v_pool.dtype)
     )
-    del b_idx
+    flat = pages.reshape(-1)
+    mp = cache.page_table.shape[1]
+    table_rows = jnp.zeros((n, mp), jnp.int32).at[:, :np_].set(pages)
     return PagedKVCache(
-        k_pool=k_pool,
-        v_pool=v_pool,
-        page_table=cache.page_table,
-        lengths=jnp.where(active, cache.lengths + 1, cache.lengths),
-        pad_lens=cache.pad_lens,
+        k_pool=cache.k_pool.at[:, :, flat].set(kp),
+        v_pool=cache.v_pool.at[:, :, flat].set(vp),
+        page_table=cache.page_table.at[rows].set(table_rows),
+        lengths=cache.lengths.at[rows].set(T),
+        pad_lens=cache.pad_lens.at[rows].set(pad_lens),
     )
 
 
@@ -160,23 +204,26 @@ def grow_pages(
     cache: PagedKVCache,
     allocator: PageAllocator,
     active_rows: List[int],
+    lookahead: int = 1,
 ) -> Tuple[PagedKVCache, bool]:
-    """Host-side step between decode chunks: every active row whose NEXT
-    token would cross into an unallocated page gets one. Returns (cache,
-    grew) — the table update is a tiny host round-trip only when needed."""
+    """Host-side step between decode chunks: every active row gets pages
+    covering positions [length, length + lookahead) — callers running
+    k-step chunks pass lookahead=k so mid-chunk boundary crossings never
+    hit an unallocated page. Returns (cache, grew)."""
     lengths = np.asarray(cache.lengths)
     table = None
     ps = cache.page_size
     for b in active_rows:
-        page_idx = int(lengths[b]) // ps
-        if int(lengths[b]) % ps == 0:
+        first = int(lengths[b]) // ps
+        last = (int(lengths[b]) + max(lookahead, 1) - 1) // ps
+        for page_idx in range(first, min(last + 1, cache.page_table.shape[1])):
             if table is None:
                 table = np.asarray(cache.page_table).copy()
             if table[b, page_idx] == 0:
                 (pid,) = allocator.alloc(1)
                 table[b, page_idx] = pid
-    if table is None:
-        return cache, False
+    if table is None or not (table != np.asarray(cache.page_table)).any():
+        return (cache if table is None else cache._replace(page_table=jnp.asarray(table))), False
     return cache._replace(page_table=jnp.asarray(table)), True
 
 

@@ -31,6 +31,10 @@ import numpy as np
 from ..models.llama import KVCache, LlamaConfig, init_kv_cache, llama_forward
 
 
+def pages_needed_for(n_tokens: int, page_size: int) -> int:
+    return -(-n_tokens // page_size)
+
+
 class SlotState(NamedTuple):
     cache: KVCache
     pad_lens: jnp.ndarray  # (N,) int32 — row window start in the cache
@@ -54,6 +58,9 @@ class SlotDecoder:
         max_prompt_len: int = 512,
         max_new_tokens: int = 256,
         cache_dtype=jnp.bfloat16,
+        paged: bool = False,
+        page_size: int = 64,
+        num_pages: Optional[int] = None,
     ):
         self.params = llm_params
         self.cfg = cfg
@@ -61,15 +68,45 @@ class SlotDecoder:
         self.n_slots = n_slots
         self.max_new = max_new_tokens
         self.max_len = max_prompt_len + max_new_tokens
-        self.cache_dtype = cache_dtype
+        # paged mode (infer/paged.py): ceil(len/page_size) pages per row
+        # instead of max_len reserved per slot. Pools are bf16 in v1 (the
+        # int8 dense cache stays the latency-optimal default — PERF.md).
+        self.paged = paged
+        self.page_size = page_size
+        if paged:
+            from .paged import PageAllocator
+
+            # capacity default: ~60% of the fully-dense footprint — the
+            # point of paging is that rows rarely all run to max_len
+            worst = n_slots * pages_needed_for(self.max_len, page_size)
+            self.num_pages = num_pages or max(2, int(0.6 * worst) + 1)
+            self.allocator = PageAllocator(self.num_pages)
+            self.cache_dtype = jnp.bfloat16
+        else:
+            self.cache_dtype = cache_dtype
         self.state = self._init_state()
         self._admit_fns = {}
         self._chunk_fns = {}
 
     def _init_state(self) -> SlotState:
         N = self.n_slots
+        if self.paged:
+            from .paged import init_paged_cache
+
+            cache = init_paged_cache(
+                self.cfg.num_layers,
+                self.cfg.num_kv_heads,
+                self.cfg.head_dim,
+                num_pages=self.num_pages,
+                page_size=self.page_size,
+                batch=N,
+                max_pages_per_seq=pages_needed_for(self.max_len, self.page_size),
+                dtype=self.cache_dtype,
+            )
+        else:
+            cache = init_kv_cache(self.cfg, N, self.max_len, dtype=self.cache_dtype)
         return SlotState(
-            cache=init_kv_cache(self.cfg, N, self.max_len, dtype=self.cache_dtype),
+            cache=cache,
             pad_lens=jnp.zeros((N,), jnp.int32),
             offsets=jnp.ones((N,), jnp.int32),  # ≥1 so done rows write slot 0 harmlessly
             last_token=jnp.full((N,), self.eos_id, jnp.int32),
@@ -113,6 +150,20 @@ class SlotDecoder:
     ) -> None:
         n, T, _ = embeds.shape
         assert T + self.max_new <= self.max_len, (T, self.max_new, self.max_len)
+        extra = ()
+        if self.paged:
+            ps = self.page_size
+            assert T % ps == 0, f"prompt bucket {T} must be a page multiple ({ps})"
+            # recycle the reused slots' pages, then allocate the prompt's.
+            # Done rows may briefly read recycled pages — harmless, their
+            # decode outputs are discarded (masked by `done`).
+            table = np.asarray(self.state.cache.page_table)
+            for s in slot_ids:
+                self.allocator.free(table[s][table[s] != 0].tolist())
+            pages = np.asarray(
+                [self.allocator.alloc(T // ps) for _ in range(n)], np.int32
+            )
+            extra = (jnp.asarray(pages),)
         fn = self._admit_fn(n, T)
         self.state = fn(
             self.params,
@@ -121,9 +172,28 @@ class SlotDecoder:
             mask,
             jnp.asarray(slot_ids, jnp.int32),
             jnp.asarray(np.minimum(budgets, self.max_new), jnp.int32),
+            *extra,
         )
 
+    def ensure_capacity(self, lookahead: int) -> None:
+        """Paged mode, between chunks: allocate pages covering every live
+        row's next ``lookahead`` tokens so mid-chunk page-boundary
+        crossings never write an unallocated page. No-op for dense slots."""
+        if not self.paged:
+            return
+        from .paged import grow_pages
+
+        live = [int(i) for i in np.nonzero(~np.asarray(self.state.done))[0]]
+        if not live:
+            return
+        cache2, grew = grow_pages(
+            self.state.cache, self.allocator, live, lookahead=lookahead + 1
+        )
+        if grew:
+            self.state = self.state._replace(cache=cache2)
+
     def decode_chunk(self, k_steps: int = 8) -> None:
+        self.ensure_capacity(k_steps)
         self.state = self._chunk_fn(k_steps)(self.params, self.state)
 
     def harvest(
@@ -152,6 +222,8 @@ class SlotDecoder:
     # ------------------------------------------------------------------
 
     def _admit_fn(self, n: int, T: int):
+        if self.paged:
+            return self._admit_fn_paged(n, T)
         key = (n, T)
         if key not in self._admit_fns:
             cfg, eos, max_new = self.cfg, self.eos_id, self.max_new
@@ -197,24 +269,86 @@ class SlotDecoder:
             self._admit_fns[key] = fn
         return self._admit_fns[key]
 
+    def _admit_fn_paged(self, n: int, T: int):
+        """Paged admission: dense temp-cache prefill (the prefill kernel
+        path is untouched), then ONE batched scatter of all n sequences'
+        K/V into their pages (infer/paged.py::write_prefill_pages_batch)."""
+        key = ("paged", n, T)
+        if key not in self._admit_fns:
+            cfg, eos, max_new = self.cfg, self.eos_id, self.max_new
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def fn(params, state: SlotState, embeds, mask, slot_ids, budgets, pages):
+                from .paged import write_prefill_pages_batch
+
+                tmp = init_kv_cache(cfg, n, T, dtype=self.cache_dtype)
+                out = llama_forward(
+                    params, cfg,
+                    inputs_embeds=embeds, attn_mask=mask,
+                    kv_cache=tmp, cache_offset=jnp.int32(0),
+                    last_logit_only=True,
+                )
+                first = jnp.argmax(out.logits[:, -1], axis=-1).astype(jnp.int32)
+                lens = jnp.sum(mask.astype(jnp.int32), axis=1)
+                pads = (T - lens).astype(jnp.int32)
+                tmpc = out.kv_cache  # k/v: (L, n, Hkv, T, Dh)
+                new_cache = write_prefill_pages_batch(
+                    state.cache,
+                    slot_ids,
+                    pages,
+                    tmpc.k.transpose(0, 1, 3, 2, 4),  # (L, n, T, Hkv, Dh)
+                    tmpc.v.transpose(0, 1, 3, 2, 4),
+                    pads,
+                )
+                row_tokens = jnp.full((n, max_new), eos, jnp.int32).at[:, 0].set(first)
+                done0 = (first == eos) | (budgets <= 1)
+                return SlotState(
+                    cache=new_cache,
+                    pad_lens=state.pad_lens.at[slot_ids].set(pads),
+                    offsets=state.offsets.at[slot_ids].set(T),
+                    last_token=state.last_token.at[slot_ids].set(first),
+                    done=state.done.at[slot_ids].set(done0),
+                    tokens=state.tokens.at[slot_ids].set(row_tokens),
+                    n_emitted=state.n_emitted.at[slot_ids].set(1),
+                    budgets=state.budgets.at[slot_ids].set(budgets),
+                )
+
+            self._admit_fns[key] = fn
+        return self._admit_fns[key]
+
     def _chunk_fn(self, k_steps: int):
         if k_steps not in self._chunk_fns:
             cfg, eos = self.cfg, self.eos_id
             N = self.n_slots
 
+            paged = self.paged
+
             @functools.partial(jax.jit, donate_argnums=(1,))
             def fn(params, state: SlotState):
                 def step(_, s: SlotState):
                     positions = (s.offsets - s.pad_lens)[:, None]
-                    out = llama_forward(
-                        params, cfg,
-                        input_ids=s.last_token[:, None],
-                        attn_mask=jnp.ones((N, 1), bool),
-                        positions=positions,
-                        kv_cache=s.cache,
-                        cache_offset=s.offsets,  # per-row depths
-                        kv_pad_lens=s.pad_lens,
-                    )
+                    if paged:
+                        out = llama_forward(
+                            params, cfg,
+                            input_ids=s.last_token[:, None],
+                            attn_mask=jnp.ones((N, 1), bool),
+                            positions=positions,
+                            # paged decode: the cache carries its own per-row
+                            # lengths/pads (models/llama.py decode_paged)
+                            kv_cache=s.cache._replace(
+                                lengths=s.offsets, pad_lens=s.pad_lens
+                            ),
+                        )
+                    else:
+                        out = llama_forward(
+                            params, cfg,
+                            input_ids=s.last_token[:, None],
+                            attn_mask=jnp.ones((N, 1), bool),
+                            positions=positions,
+                            kv_cache=s.cache,
+                            cache_offset=s.offsets,  # per-row depths
+                            kv_pad_lens=s.pad_lens,
+                        )
                     nxt = jnp.argmax(out.logits[:, 0], axis=-1).astype(jnp.int32)
                     nxt = jnp.where(s.done, jnp.int32(eos), nxt)
                     emit = ~s.done
@@ -226,8 +360,11 @@ class SlotDecoder:
                     # done rows stop advancing: their cache slot is re-written
                     # in place, outside every live window
                     offsets = s.offsets + emit.astype(jnp.int32)
+                    new_cache = out.kv_cache
+                    if paged:  # keep pool lengths synced for grow_pages
+                        new_cache = new_cache._replace(lengths=offsets)
                     return SlotState(
-                        cache=out.kv_cache,
+                        cache=new_cache,
                         pad_lens=s.pad_lens,
                         offsets=offsets,
                         last_token=nxt,

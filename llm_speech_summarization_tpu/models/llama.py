@@ -284,6 +284,17 @@ def _block(
         )  # (B, S+T, Hkv, Dh)
         v_att = jnp.concatenate([v_cache.transpose(0, 2, 1, 3).astype(q.dtype), v], axis=1)
         attn = dot_product_attention(q, k_att, v_att, attn_args[0])
+    elif attn_kind == "decode_paged":
+        # paged KV cache (infer/paged.py): per-layer pools ride the scan xs,
+        # the fresh token is attended in-VMEM and scattered into the pools
+        # by the caller-visible write after the scan
+        from ..kernels.paged_attention import paged_decode_attention
+
+        k_pool, v_pool = cache_kv  # (Hkv, P, ps, Dh) for THIS layer
+        page_table, lengths, pad_lens = attn_args
+        attn = paged_decode_attention(
+            q, k_pool, v_pool, page_table, lengths, pad_lens, k, v
+        )
     elif attn_kind == "decode_pallas":
         from ..kernels.decode_attention import decode_attention
 
@@ -435,7 +446,15 @@ def llama_forward(
     else:
         use_pallas = attn_impl == "pallas"
 
-    is_prefill = kv_cache is not None and kv_valid is None and kv_pad_lens is None
+    # paged cache (infer/paged.py PagedKVCache): decode-only through this
+    # forward — prefill runs on a dense temp cache and scatters into pages
+    # (SlotDecoder admit). Detected structurally to keep models/ from
+    # importing infer/.
+    is_paged = kv_cache is not None and hasattr(kv_cache, "page_table")
+    is_prefill = (
+        kv_cache is not None and not is_paged
+        and kv_valid is None and kv_pad_lens is None
+    )
     is_decode = kv_cache is not None and not is_prefill
 
     use_flash_T = T % 64 == 0  # kernels/flash_attention.py::_pick_block tiles
@@ -456,6 +475,10 @@ def llama_forward(
             attn_kind, attn_args = "flash", (pad_lens, jnp.full((B,), T, jnp.int32))
         else:
             attn_kind, attn_args = "bias", (make_attention_bias(attn_mask, attn_mask, causal=True),)
+    elif is_paged:
+        assert T == 1, "the paged cache is a decode-step path (prefill goes dense→scatter)"
+        attn_kind = "decode_paged"
+        attn_args = (kv_cache.page_table, kv_cache.lengths, kv_cache.pad_lens)
     else:
         assert cache_offset is not None
         cache_offset = jnp.asarray(cache_offset, jnp.int32)
@@ -531,20 +554,30 @@ def llama_forward(
         new_kv = None
     else:
         if is_decode:
-            cache_xs = (
-                (kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale)
-                if kv_cache.quantized
-                else (kv_cache.k, kv_cache.v)
-            )
+            if is_paged:
+                cache_xs = (kv_cache.k_pool, kv_cache.v_pool)  # leading L
+            elif kv_cache.quantized:
+                cache_xs = (kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale)
+            else:
+                cache_xs = (kv_cache.k, kv_cache.v)
             xs = (params["layers"], cache_xs)
         else:
             xs = params["layers"]
         x, ys = jax.lax.scan(scan_body, x, xs, unroll=scan_unroll)
         hidden_stack, (k_new, v_new) = ys  # k_new/v_new: (L, B, T, Hkv, Dh)
-        # cache layout (L, B, Hkv, S, Dh): one O(L·B·T) in-place write
-        # instead of O(L·B·S) per-layer copies
-        k_new = k_new.transpose(0, 1, 3, 2, 4)  # (L, B, Hkv, T, Dh)
-        v_new = v_new.transpose(0, 1, 3, 2, 4)
+        if is_paged:
+            # scatter the fresh token into each row's page at its current
+            # length (infer/paged.py::write_token semantics: lengths are
+            # NOT advanced — the decode loop owns progression)
+            from ..infer.paged import write_token
+
+            new_kv = write_token(kv_cache, k_new[:, :, 0], v_new[:, :, 0])
+            k_new = v_new = None
+        else:
+            # cache layout (L, B, Hkv, S, Dh): one O(L·B·T) in-place write
+            # instead of O(L·B·S) per-layer copies
+            k_new = k_new.transpose(0, 1, 3, 2, 4)  # (L, B, Hkv, T, Dh)
+            v_new = v_new.transpose(0, 1, 3, 2, 4)
 
         def write(buf, new):
             """In-place slot write at cache_offset — scalar, or per-row (B,)
@@ -560,7 +593,9 @@ def llama_forward(
 
             return jax.vmap(row, in_axes=(1, 1, 0), out_axes=1)(buf, new, cache_offset)
 
-        if kv_cache.quantized:
+        if is_paged:
+            pass  # new_kv already written above
+        elif kv_cache.quantized:
             kq, ks = _quantize_kv(k_new)
             vq, vs = _quantize_kv(v_new)
             new_kv = KVCache(

@@ -180,3 +180,51 @@ def test_paged_cache_roundtrip_matches_dense():
     cache = free_row(cache, alloc, 0)
     assert alloc.free_pages == before + 3  # 2 prefill pages + 1 grown
     assert int(cache.lengths[0]) == 0
+
+
+def test_slot_decoder_paged_matches_dense():
+    """SlotDecoder(paged=True) emits exactly the dense slot decoder's
+    tokens — full admit → chunk → harvest → re-admit lifecycle, including
+    page growth across chunk boundaries and page recycling."""
+    import jax
+
+    from llm_speech_summarization_tpu.infer.slots import SlotDecoder
+    from llm_speech_summarization_tpu.models.llama import (
+        init_llama_params,
+        llama_preset,
+    )
+
+    cfg = llama_preset("tiny")
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+
+    def run(paged):
+        dec = SlotDecoder(
+            params, cfg, eos_id=0, n_slots=4, max_prompt_len=128,
+            max_new_tokens=16, cache_dtype=jnp.float32,
+            paged=paged, page_size=64,
+        )
+        rng = np.random.RandomState(0)
+        table = params["embed_tokens"]
+        outs = {}
+        # wave 1: two prompts, different budgets
+        ids = rng.randint(1, cfg.vocab_size, (2, 64))
+        embeds = table[jnp.asarray(ids)]
+        dec.admit(embeds, jnp.ones((2, 64), bool), [0, 1], [5, 16])
+        dec.decode_chunk(8)  # row 0 finishes (budget 5)
+        for s, toks, n in dec.harvest():
+            outs[("w1", s)] = toks[:n].tolist()
+        # wave 2 admits into the freed slot mid-decode (page recycling)
+        ids2 = rng.randint(1, cfg.vocab_size, (1, 64))
+        dec.admit(table[jnp.asarray(ids2)], jnp.ones((1, 64), bool), [2], [9])
+        for _ in range(4):
+            dec.decode_chunk(8)
+        for s, toks, n in dec.harvest():
+            outs[("w2", s)] = toks[:n].tolist()
+        return outs
+
+    dense = run(False)
+    paged = run(True)
+    assert dense.keys() == paged.keys()
+    for k in dense:
+        assert dense[k] == paged[k], (k, dense[k], paged[k])
+    assert ("w1", 0) in dense and len(dense[("w1", 0)]) == 5
