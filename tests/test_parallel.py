@@ -193,3 +193,27 @@ def test_mesh_seq_axis_construction():
     assert dict(m.shape) == {"data": 2, "seq": 2, "model": 2}
     m2 = mesh_from_devices(data=-1, model=2, seq=2)
     assert dict(m2.shape)["data"] == 2
+
+
+def test_distributed_init_env_args(monkeypatch):
+    """LSS_* env vars drive jax.distributed.initialize; idempotent after."""
+    import llm_speech_summarization_tpu.parallel.mesh as M
+
+    calls = {}
+    monkeypatch.setattr(jax.distributed, "initialize", lambda **kw: calls.update(kw))
+    monkeypatch.setenv("LSS_COORDINATOR", "10.0.0.1:1234")
+    monkeypatch.setenv("LSS_NUM_PROCESSES", "4")
+    monkeypatch.setenv("LSS_PROCESS_ID", "2")
+    monkeypatch.setattr(M, "_DISTRIBUTED_INITIALIZED", False)
+    try:
+        assert M.distributed_init() is True
+        assert calls == {
+            "coordinator_address": "10.0.0.1:1234",
+            "num_processes": 4,
+            "process_id": 2,
+        }
+        calls.clear()
+        assert M.distributed_init() is True  # second call: no re-init
+        assert calls == {}
+    finally:
+        M._DISTRIBUTED_INITIALIZED = False
