@@ -24,6 +24,10 @@ def main(argv=None):
     parser.add_argument("--text", type=str, default="",
                         help="additional text prompt placed before the audio")
     parser.add_argument("--max_new_tokens", type=int, default=512)
+    parser.add_argument("--repetition_penalty", type=float, default=1.0,
+                        help="damp repeated tokens (the reference documents "
+                        "greedy repetition loops as a known failure, "
+                        "inference.py:169-171; try 1.2)")
     args = parser.parse_args(argv)
 
     from ..configs import load_config
@@ -32,7 +36,8 @@ def main(argv=None):
 
     config = load_config(args.config)
     engine = LLMSpeechTextInference(
-        config, audio_encoder_checkpoint=args.audio_encoder_checkpoint
+        config, audio_encoder_checkpoint=args.audio_encoder_checkpoint,
+        repetition_penalty=args.repetition_penalty,
     )
 
     audio = load_audio(args.audio_file, target_sr=config.audio.sampling_rate)

@@ -36,6 +36,13 @@ class AudioEncoderConfig:
     # TPU additions: model size preset used when `type` is not a known HF id
     # and no converted weights are given (tests use "tiny").
     preset: Optional[str] = None
+    # Whisper only: size the mel budget to the (bucketed) input instead of
+    # the fixed 30 s pad — a 10 s clip then runs a 1000-frame encoder, not
+    # 3000 (PERF.md whisper section). Default False = exact reference
+    # featurization (WhisperFeatureExtractor's fixed 30 s pad,
+    # reference: trainer.py:178-182). Valid embeds are identical either
+    # way (padded frames are attention-masked).
+    whisper_dynamic_frames: bool = False
 
 
 @dataclass

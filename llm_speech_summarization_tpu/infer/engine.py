@@ -71,6 +71,7 @@ class LLMSpeechTextInference:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        repetition_penalty: float = 1.0,
         bucket: int = 64,
         decode_bucket: int = 64,
     ):
@@ -78,6 +79,9 @@ class LLMSpeechTextInference:
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
+        # >1.0 damps the reference's documented greedy repetition loops
+        # (reference: inference.py:169-171); 1.0 = exact parity behavior
+        self.repetition_penalty = repetition_penalty
         self.bucket = bucket  # prefill-length bucket (64-granular: the flash
         # kernel runs full-T blocks for T ≤ 512, so finer buckets cut padded
         # prefill FLOPs — 384 → 320 on the 10 s workload, ~17% less prefill)
@@ -186,6 +190,7 @@ class LLMSpeechTextInference:
             temperature=self.temperature,
             top_k=self.top_k,
             top_p=self.top_p,
+            repetition_penalty=self.repetition_penalty,
             rng=rng,
             cache_dtype=self.cache_dtype,
             num_steps=jnp.int32(max_new_tokens),

@@ -40,6 +40,19 @@ class _DecodeState(NamedTuple):
     done: jnp.ndarray  # (B,)
     cache: KVCache
     rng: jax.Array
+    seen: jnp.ndarray  # (B, V) bool iff repetition penalty on, else (B, 1)
+
+
+def _apply_repetition_penalty(
+    logits: jnp.ndarray, seen: jnp.ndarray, penalty: float
+) -> jnp.ndarray:
+    """HF-style repetition penalty over already-GENERATED tokens: seen
+    tokens' logits shrink (divide if positive, multiply if negative). The
+    reference documents greedy repetition loops as a known failure with
+    'crop the output manually' as the workaround (reference:
+    inference.py:169-171); this fixes it inside the jitted decode."""
+    pen = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, pen, logits)
 
 
 def _sample(
@@ -75,7 +88,8 @@ def _sample(
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "eos_id", "temperature", "top_k", "top_p", "cache_dtype"
+        "cfg", "max_new_tokens", "eos_id", "temperature", "top_k", "top_p",
+        "cache_dtype", "repetition_penalty",
     ),
 )
 def greedy_generate(
@@ -89,6 +103,7 @@ def greedy_generate(
     temperature: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    repetition_penalty: float = 1.0,
     rng: Optional[jax.Array] = None,
     cache_dtype=jnp.bfloat16,
     num_steps: Optional[jnp.ndarray] = None,
@@ -129,6 +144,12 @@ def greedy_generate(
 
     tokens0 = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(first)
+    use_rep = repetition_penalty != 1.0
+    seen0 = (
+        jnp.zeros((B, cfg.vocab_size), bool).at[jnp.arange(B), first].set(True)
+        if use_rep
+        else jnp.zeros((B, 1), bool)  # dummy carry when the knob is off
+    )
     state = _DecodeState(
         step=jnp.int32(1),
         tokens=tokens0,
@@ -136,6 +157,7 @@ def greedy_generate(
         done=first == eos_id,
         cache=out.kv_cache,
         rng=rng,
+        seen=seen0,
     )
 
     def cond(s: _DecodeState):
@@ -157,9 +179,13 @@ def greedy_generate(
             kv_pad_lens=pad_lens,
         )
         rng, k = jax.random.split(s.rng)
-        nxt = _sample(out.logits[:, 0], temperature, k, top_k, top_p)
+        logits = out.logits[:, 0]
+        if use_rep:
+            logits = _apply_repetition_penalty(logits, s.seen, repetition_penalty)
+        nxt = _sample(logits, temperature, k, top_k, top_p)
         nxt = jnp.where(s.done, eos_id, nxt)
         tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, s.step))
+        seen = s.seen.at[jnp.arange(B), nxt].set(True) if use_rep else s.seen
         return _DecodeState(
             step=s.step + 1,
             tokens=tokens,
@@ -167,6 +193,7 @@ def greedy_generate(
             done=s.done | (nxt == eos_id),
             cache=out.kv_cache,
             rng=rng,
+            seen=seen,
         )
 
     final = jax.lax.while_loop(cond, body, state)

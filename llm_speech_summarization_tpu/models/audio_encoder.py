@@ -52,6 +52,7 @@ class AudioEncoderParams:
     pool_stride: int
     llm_embedding_channels: int
     sampling_rate: int = 16000
+    whisper_dynamic_frames: bool = False
 
 
 def encoder_setup_from_config(cfg: Config) -> AudioEncoderParams:
@@ -72,6 +73,7 @@ def encoder_setup_from_config(cfg: Config) -> AudioEncoderParams:
         pool_stride=ae.pooling.stride,
         llm_embedding_channels=cfg.model.llm_embedding_channels,
         sampling_rate=cfg.audio.sampling_rate,
+        whisper_dynamic_frames=ae.whisper_dynamic_frames,
     )
 
 
@@ -132,7 +134,15 @@ def audio_encoder_forward(
         w_cfg: WhisperConfig = setup.encoder_cfg
         # reference pads/truncates to 30 s via WhisperFeatureExtractor
         # (trainer.py:178-182); mirror that with a fixed mel frame budget.
-        mel = log_mel_spectrogram(wav, w_cfg, pad_to_frames=2 * w_cfg.max_source_positions)
+        # whisper_dynamic_frames sizes the budget to the (bucketed) input
+        # instead — valid embeds are identical (padded frames are masked)
+        # but a 10 s clip runs a 3x smaller encoder (PERF.md).
+        budget = 2 * w_cfg.max_source_positions
+        if setup.whisper_dynamic_frames:
+            need = N // w_cfg.hop_length
+            need = ((need + 1) // 2) * 2  # conv2 stride 2 wants even frames
+            budget = min(budget, max(need, 2))
+        mel = log_mel_spectrogram(wav, w_cfg, pad_to_frames=budget)
         mel_counts = wav_lens // w_cfg.hop_length
         frames, _ = whisper_forward(params["encoder"], w_cfg, mel, mel_counts, remat=remat)
 

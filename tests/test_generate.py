@@ -179,3 +179,55 @@ def test_pipelined_upload_path_matches_fused():
         audios, additional_text_prompt="Summarize: ", max_new_tokens=8
     )
     assert piped_t == fused_t
+
+
+def test_repetition_penalty_breaks_greedy_loops():
+    """The reference documents greedy repetition loops as a known failure
+    ('crop the output manually', reference inference.py:169-171). With
+    near-constant logits (zeroed blocks) greedy decode repeats one token
+    forever; repetition_penalty > 1 must break the loop."""
+    from llm_speech_summarization_tpu.infer.generate import greedy_generate
+
+    cfg = TINY
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    # flatten the model: tiny weights => logits dominated by a constant
+    # direction => greedy repeats
+    params = jax.tree_util.tree_map(lambda x: x * 1e-3, params)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 1, cfg.vocab_size)
+    embeds = params["embed_tokens"][ids]
+    mask = jnp.ones((2, 8), bool)
+
+    toks_plain, _ = greedy_generate(
+        params, cfg, embeds, mask, max_new_tokens=12, eos_id=0,
+        cache_dtype=jnp.float32,
+    )
+    row = np.asarray(toks_plain)[0]
+    assert len(np.unique(row)) <= 3, row  # it does loop without the knob
+
+    toks_pen, _ = greedy_generate(
+        params, cfg, embeds, mask, max_new_tokens=12, eos_id=0,
+        cache_dtype=jnp.float32, repetition_penalty=1e6,
+    )
+    for row in np.asarray(toks_pen):
+        non_eos = row[row != 0]
+        # a huge penalty forbids any repeat until eos
+        assert len(np.unique(non_eos)) == len(non_eos), row
+
+
+def test_repetition_penalty_one_is_identity():
+    """penalty=1.0 must be bit-identical to the unpenalized path (it is the
+    engine default — exact reference-parity behavior)."""
+    from llm_speech_summarization_tpu.infer.generate import greedy_generate
+
+    cfg = TINY
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 1, cfg.vocab_size)
+    embeds = params["embed_tokens"][ids]
+    mask = jnp.ones((2, 8), bool)
+    a, na = greedy_generate(params, cfg, embeds, mask, max_new_tokens=8,
+                            eos_id=0, cache_dtype=jnp.float32)
+    b, nb = greedy_generate(params, cfg, embeds, mask, max_new_tokens=8,
+                            eos_id=0, cache_dtype=jnp.float32,
+                            repetition_penalty=1.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))

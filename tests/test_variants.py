@@ -109,3 +109,33 @@ def test_ctc_pool_engine_generation():
     ranges = np.asarray([(i * 4, i * 4 + 4) for i in range(10)], np.int32)
     out = eng.generate_audio_response(audio, max_new_tokens=8, ctc_pool_ranges=ranges)
     assert isinstance(out, str)
+
+
+def test_whisper_dynamic_frames_matches_fixed():
+    """whisper_dynamic_frames shrinks the mel budget to the input bucket;
+    VALID embeds must match the fixed-30 s featurization (padded frames
+    are attention-masked, so they can't influence real positions)."""
+    import dataclasses
+
+    cfg = _cfg("whisper", "pool")
+    setup_fixed = encoder_setup_from_config(cfg)
+    cfg.model.audio_encoder.whisper_dynamic_frames = True
+    setup_dyn = encoder_setup_from_config(cfg)
+    assert setup_dyn.whisper_dynamic_frames
+
+    params = init_audio_encoder(jax.random.PRNGKey(0), setup_fixed, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    B, N = 2, 32000  # 2 s buckets — dynamic budget 200 frames vs fixed 600
+    wav = jnp.asarray(0.1 * rng.randn(B, N), jnp.float32)
+    lens = jnp.asarray([N, 17000], jnp.int32)
+
+    e_fixed, l_fixed = audio_encoder_forward(params, setup_fixed, wav, lens)
+    e_dyn, l_dyn = audio_encoder_forward(params, setup_dyn, wav, lens)
+    assert e_dyn.shape[1] < e_fixed.shape[1]  # buffer actually shrank
+    np.testing.assert_array_equal(np.asarray(l_fixed), np.asarray(l_dyn))
+    for b in range(B):
+        n = int(l_fixed[b])
+        np.testing.assert_allclose(
+            np.asarray(e_dyn[b, :n]), np.asarray(e_fixed[b, :n]),
+            rtol=2e-4, atol=2e-4,
+        )
