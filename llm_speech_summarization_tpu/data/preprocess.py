@@ -47,13 +47,25 @@ def generate_llm_responses(
     LLMSpeechTextInference; batching + jitted decode replace the reference's
     eager bs=8 (MiniChat) / bs=1 (Llama-3) loops.
     """
-    out: List[str] = []
-    for i in range(0, len(transcripts), batch_size):
-        chunk = [t.lower() if lowercase else t for t in transcripts[i : i + batch_size]]
-        max_prompt = max(len(engine.tokenizer.encode(engine.template.full_text_prompt(t))) for t in chunk)
-        out.extend(
-            engine.generate_text_response_batch(chunk, max_new_tokens=max_new_factor * max_prompt)
+    texts = [t.lower() if lowercase else t for t in transcripts]
+    lens = [
+        len(engine.tokenizer.encode(engine.template.full_text_prompt(t))) for t in texts
+    ]
+    # length-sorted batching: each chunk's (prompt bucket, token budget)
+    # pair is then near-constant, so the job compiles a handful of XLA
+    # programs instead of one per mixed-length chunk, and short prompts
+    # stop paying the longest co-batched prompt's 2x generation budget
+    order = sorted(range(len(texts)), key=lambda i: lens[i])
+    out: List[str] = [""] * len(texts)
+    for i in range(0, len(order), batch_size):
+        idx = order[i : i + batch_size]
+        chunk = [texts[j] for j in idx]
+        max_prompt = max(lens[j] for j in idx)
+        resp = engine.generate_text_response_batch(
+            chunk, max_new_tokens=max_new_factor * max_prompt
         )
+        for j, r in zip(idx, resp):
+            out[j] = r
     return out
 
 
