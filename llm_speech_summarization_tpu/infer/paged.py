@@ -23,11 +23,13 @@ import numpy as np
 
 
 class PagedKVCache(NamedTuple):
-    k_pool: jnp.ndarray  # (L, Hkv, P, ps, Dh)
+    k_pool: jnp.ndarray  # (L, Hkv, P, ps, Dh) — bf16/f32, or int8 quantized
     v_pool: jnp.ndarray  # (L, Hkv, P, ps, Dh)
     page_table: jnp.ndarray  # (B, max_pages) int32 (0-padded)
     lengths: jnp.ndarray  # (B,) int32 tokens written per row
     pad_lens: jnp.ndarray  # (B,) int32 left-pad inside the logical sequence
+    k_scale: Optional[jnp.ndarray] = None  # (L, Hkv, P, ps) bf16 iff int8
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def page_size(self) -> int:
@@ -36,6 +38,10 @@ class PagedKVCache(NamedTuple):
     @property
     def num_pages(self) -> int:
         return self.k_pool.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
 
 def init_paged_cache(
@@ -50,12 +56,18 @@ def init_paged_cache(
     dtype=jnp.bfloat16,
 ) -> PagedKVCache:
     shape = (num_layers, num_kv_heads, num_pages, page_size, head_dim)
+    quantized = jnp.dtype(dtype) == jnp.int8
+    # each field its own buffer (never alias zeros — donation, see
+    # models/llama.py::init_kv_cache)
+    zeros = lambda s, dt: jnp.zeros(s, dt) + 0  # noqa: E731
     return PagedKVCache(
-        k_pool=jnp.zeros(shape, dtype),
-        v_pool=jnp.zeros(shape, dtype),
+        k_pool=zeros(shape, dtype),
+        v_pool=zeros(shape, dtype),
         page_table=jnp.zeros((batch, max_pages_per_seq), jnp.int32),
         lengths=jnp.zeros((batch,), jnp.int32),
         pad_lens=jnp.zeros((batch,), jnp.int32),
+        k_scale=zeros(shape[:-1], jnp.bfloat16) if quantized else None,
+        v_scale=zeros(shape[:-1], jnp.bfloat16) if quantized else None,
     )
 
 
@@ -101,22 +113,15 @@ def write_prefill_pages(
 ) -> PagedKVCache:
     """Scatter a prefilled sequence's K/V into its pages and install the
     page table row. T must be padded to a page multiple (engines bucket
-    prompt lengths anyway); `pad_len` marks the left padding inside it."""
-    L, T, Hkv, Dh = k_toks.shape
-    ps = cache.page_size
-    n = pages.shape[0]
-    # (L, T, Hkv, Dh) -> (L, Hkv, n, ps, Dh)
-    kp = k_toks.transpose(0, 2, 1, 3).reshape(L, Hkv, n, ps, Dh).astype(cache.k_pool.dtype)
-    vp = v_toks.transpose(0, 2, 1, 3).reshape(L, Hkv, n, ps, Dh).astype(cache.v_pool.dtype)
-    k_pool = cache.k_pool.at[:, :, pages].set(kp)
-    v_pool = cache.v_pool.at[:, :, pages].set(vp)
-    table_row = jnp.zeros((cache.page_table.shape[1],), jnp.int32).at[:n].set(pages)
-    return PagedKVCache(
-        k_pool=k_pool,
-        v_pool=v_pool,
-        page_table=cache.page_table.at[row].set(table_row),
-        lengths=cache.lengths.at[row].set(T),
-        pad_lens=cache.pad_lens.at[row].set(pad_len),
+    prompt lengths anyway); `pad_len` marks the left padding inside it.
+    Single-row convenience wrapper over write_prefill_pages_batch."""
+    return write_prefill_pages_batch(
+        cache,
+        jnp.asarray(row, jnp.int32)[None],
+        jnp.asarray(pages, jnp.int32)[None],
+        k_toks[:, None],
+        v_toks[:, None],
+        jnp.asarray(pad_len, jnp.int32)[None],
     )
 
 
@@ -139,13 +144,23 @@ def write_token(
     pid = jnp.take_along_axis(cache.page_table, page_idx[:, None], axis=1)[:, 0]
     if active is not None:
         pid = jnp.where(active, pid, 0)
-    k_pool = cache.k_pool.at[:, :, pid, slot].set(
-        k_new.transpose(0, 2, 1, 3).astype(cache.k_pool.dtype)
+    kt = k_new.transpose(0, 2, 1, 3)  # (L, Hkv, B, Dh)
+    vt = v_new.transpose(0, 2, 1, 3)
+    if cache.quantized:
+        from ..models.llama import _quantize_kv
+
+        kq, ks = _quantize_kv(kt)
+        vq, vs = _quantize_kv(vt)
+        return cache._replace(
+            k_pool=cache.k_pool.at[:, :, pid, slot].set(kq),
+            v_pool=cache.v_pool.at[:, :, pid, slot].set(vq),
+            k_scale=cache.k_scale.at[:, :, pid, slot].set(ks),
+            v_scale=cache.v_scale.at[:, :, pid, slot].set(vs),
+        )
+    return cache._replace(
+        k_pool=cache.k_pool.at[:, :, pid, slot].set(kt.astype(cache.k_pool.dtype)),
+        v_pool=cache.v_pool.at[:, :, pid, slot].set(vt.astype(cache.v_pool.dtype)),
     )
-    v_pool = cache.v_pool.at[:, :, pid, slot].set(
-        v_new.transpose(0, 2, 1, 3).astype(cache.v_pool.dtype)
-    )
-    return cache._replace(k_pool=k_pool, v_pool=v_pool)
 
 
 @jax.jit
@@ -169,34 +184,61 @@ def write_prefill_pages_batch(
     k_toks: jnp.ndarray,  # (L, n, T, Hkv, Dh) — T = n_pages * ps
     v_toks: jnp.ndarray,
     pad_lens: jnp.ndarray,  # (n,) int32
+    k_scales: Optional[jnp.ndarray] = None,  # (L, n, T, Hkv): k_toks already int8
+    v_scales: Optional[jnp.ndarray] = None,
 ) -> PagedKVCache:
     """Batched prefill write: all n admitted sequences scatter in ONE
     program (a host loop of per-row writes would pay one dispatch RPC per
-    row on remote backends)."""
+    row on remote backends). For int8 pools, pass pre-quantized values +
+    scales (e.g. straight from an int8 dense prefill cache) or raw toks —
+    the latter quantize here."""
     L, n, T, Hkv, Dh = k_toks.shape
     ps = cache.page_size
     np_ = pages.shape[1]
-    kp = (
-        k_toks.transpose(0, 3, 1, 2, 4)
-        .reshape(L, Hkv, n, np_, ps, Dh)
-        .reshape(L, Hkv, n * np_, ps, Dh)
-        .astype(cache.k_pool.dtype)
-    )
-    vp = (
-        v_toks.transpose(0, 3, 1, 2, 4)
-        .reshape(L, Hkv, n, np_, ps, Dh)
-        .reshape(L, Hkv, n * np_, ps, Dh)
-        .astype(cache.v_pool.dtype)
-    )
+
+    def to_pages(x):  # (L, n, T, Hkv, Dh) -> (L, Hkv, n*np_, ps, Dh)
+        return (
+            x.transpose(0, 3, 1, 2, 4)
+            .reshape(L, Hkv, n, np_, ps, Dh)
+            .reshape(L, Hkv, n * np_, ps, Dh)
+        )
+
+    def to_pages_s(x):  # (L, n, T, Hkv) -> (L, Hkv, n*np_, ps)
+        return (
+            x.transpose(0, 3, 1, 2)
+            .reshape(L, Hkv, n, np_, ps)
+            .reshape(L, Hkv, n * np_, ps)
+        )
+
     flat = pages.reshape(-1)
     mp = cache.page_table.shape[1]
     table_rows = jnp.zeros((n, mp), jnp.int32).at[:, :np_].set(pages)
-    return PagedKVCache(
-        k_pool=cache.k_pool.at[:, :, flat].set(kp),
-        v_pool=cache.v_pool.at[:, :, flat].set(vp),
+    kp, vp = to_pages(k_toks), to_pages(v_toks)
+    if cache.quantized:
+        if k_scales is not None:  # already quantized upstream
+            kq, vq = kp, vp
+            ks, vs = to_pages_s(k_scales), to_pages_s(v_scales)
+        else:
+            from ..models.llama import _quantize_kv
+
+            kq, ks = _quantize_kv(kp)
+            vq, vs = _quantize_kv(vp)
+        k_pool = cache.k_pool.at[:, :, flat].set(kq)
+        v_pool = cache.v_pool.at[:, :, flat].set(vq)
+        k_scale = cache.k_scale.at[:, :, flat].set(ks)
+        v_scale = cache.v_scale.at[:, :, flat].set(vs)
+    else:
+        k_pool = cache.k_pool.at[:, :, flat].set(kp.astype(cache.k_pool.dtype))
+        v_pool = cache.v_pool.at[:, :, flat].set(vp.astype(cache.v_pool.dtype))
+        k_scale, v_scale = cache.k_scale, cache.v_scale
+    return cache._replace(
+        k_pool=k_pool,
+        v_pool=v_pool,
         page_table=cache.page_table.at[rows].set(table_rows),
         lengths=cache.lengths.at[rows].set(T),
         pad_lens=cache.pad_lens.at[rows].set(pad_lens),
+        k_scale=k_scale,
+        v_scale=v_scale,
     )
 
 

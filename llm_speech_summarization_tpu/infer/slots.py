@@ -72,6 +72,10 @@ class SlotDecoder:
         # instead of max_len reserved per slot. Pools are bf16 in v1 (the
         # int8 dense cache stays the latency-optimal default — PERF.md).
         self.paged = paged
+        if paged and jnp.dtype(cache_dtype) == jnp.int8 and page_size % 128 != 0:
+            # int8 scale slabs DMA as (1, page_size) rows whose lane dim
+            # must be 128-aligned on TPU (kernels/paged_attention.py)
+            page_size = 128
         self.page_size = page_size
         if paged:
             from .paged import PageAllocator
@@ -81,9 +85,7 @@ class SlotDecoder:
             worst = n_slots * pages_needed_for(self.max_len, page_size)
             self.num_pages = num_pages or max(2, int(0.6 * worst) + 1)
             self.allocator = PageAllocator(self.num_pages)
-            self.cache_dtype = jnp.bfloat16
-        else:
-            self.cache_dtype = cache_dtype
+        self.cache_dtype = cache_dtype  # bf16/f32 or int8 (paged included)
         self.state = self._init_state()
         self._admit_fns = {}
         self._chunk_fns = {}
@@ -153,7 +155,7 @@ class SlotDecoder:
         extra = ()
         if self.paged:
             ps = self.page_size
-            assert T % ps == 0, f"prompt bucket {T} must be a page multiple ({ps})"
+            T_pages = -(-T // ps) * ps  # prompts pad up to a page multiple
             # recycle the reused slots' pages, then allocate the prompt's.
             # Done rows may briefly read recycled pages — harmless, their
             # decode outputs are discarded (masked by `done`).
@@ -161,7 +163,7 @@ class SlotDecoder:
             for s in slot_ids:
                 self.allocator.free(table[s][table[s] != 0].tolist())
             pages = np.asarray(
-                [self.allocator.alloc(T // ps) for _ in range(n)], np.int32
+                [self.allocator.alloc(T_pages // ps) for _ in range(n)], np.int32
             )
             extra = (jnp.asarray(pages),)
         fn = self._admit_fn(n, T)
@@ -292,13 +294,36 @@ class SlotDecoder:
                 lens = jnp.sum(mask.astype(jnp.int32), axis=1)
                 pads = (T - lens).astype(jnp.int32)
                 tmpc = out.kv_cache  # k/v: (L, n, Hkv, T, Dh)
+                # buffers pad RIGHT up to a page multiple; the valid window
+                # [pad, T) is unchanged, the tail slots are just never read
+                ps = state.cache.page_size
+                tail = (-T) % ps
+
+                def padT(x):  # (L, n, Hkv, T, ...) → T padded to page multiple
+                    widths = [(0, 0)] * x.ndim
+                    widths[3] = (0, tail)
+                    return jnp.pad(x, widths) if tail else x
+
+                scales = (
+                    dict(
+                        k_scales=padT(tmpc.k_scale).transpose(0, 1, 3, 2),
+                        v_scales=padT(tmpc.v_scale).transpose(0, 1, 3, 2),
+                    )
+                    if tmpc.quantized  # int8 temp cache: pass values+scales as-is
+                    else {}
+                )
                 new_cache = write_prefill_pages_batch(
                     state.cache,
                     slot_ids,
                     pages,
-                    tmpc.k.transpose(0, 1, 3, 2, 4),  # (L, n, T, Hkv, Dh)
-                    tmpc.v.transpose(0, 1, 3, 2, 4),
+                    padT(tmpc.k).transpose(0, 1, 3, 2, 4),  # (L, n, T', Hkv, Dh)
+                    padT(tmpc.v).transpose(0, 1, 3, 2, 4),
                     pads,
+                    **scales,
+                )
+                # real prompt length, not the page-padded buffer length
+                new_cache = new_cache._replace(
+                    lengths=new_cache.lengths.at[slot_ids].set(T)
                 )
                 row_tokens = jnp.full((n, max_new), eos, jnp.int32).at[:, 0].set(first)
                 done0 = (first == eos) | (budgets <= 1)

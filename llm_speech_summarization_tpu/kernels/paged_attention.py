@@ -35,6 +35,7 @@ runs masked attention — used on non-TPU backends and as the parity oracle
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,9 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def paged_reference(q, k_pool, v_pool, page_table, lengths, pad_lens, k_new, v_new):
+def paged_reference(q, k_pool, v_pool, page_table, lengths, pad_lens, k_new, v_new,
+                    k_scale=None, v_scale=None):
     """XLA oracle: gather each sequence's pages into a dense cache, run
-    masked attention over [pad, length) plus the fresh token."""
+    masked attention over [pad, length) plus the fresh token. int8 pools
+    dequantize through the gathered per-slot scales."""
     B = q.shape[0]
     Hkv, P, ps, Dh = k_pool.shape
     mp = page_table.shape[1]
@@ -56,6 +59,11 @@ def paged_reference(q, k_pool, v_pool, page_table, lengths, pad_lens, k_new, v_n
     vg = v_pool[:, page_table]
     kd = kg.transpose(1, 0, 2, 3, 4).reshape(B, Hkv, S, Dh)
     vd = vg.transpose(1, 0, 2, 3, 4).reshape(B, Hkv, S, Dh)
+    if k_scale is not None:
+        ksg = k_scale[:, page_table].transpose(1, 0, 2, 3).reshape(B, Hkv, S)
+        vsg = v_scale[:, page_table].transpose(1, 0, 2, 3).reshape(B, Hkv, S)
+        kd = (kd.astype(jnp.float32) * ksg[..., None].astype(jnp.float32)).astype(q.dtype)
+        vd = (vd.astype(jnp.float32) * vsg[..., None].astype(jnp.float32)).astype(q.dtype)
 
     Hq = q.shape[2]
     group = Hq // Hkv
@@ -82,19 +90,22 @@ def _paged_kernel(
     q_ref,  # (bb, G, Dh) VMEM
     kn_ref,  # (bb, 1, Dh) fresh key
     vn_ref,  # (bb, 1, Dh) fresh value
-    k_pool_ref,  # (Hkv, P, ps, Dh) ANY (HBM)
+    k_pool_ref,  # (Hkv, P, ps, Dh) ANY (HBM); bf16/f32 or int8
     v_pool_ref,
-    o_ref,  # (bb, G, Dh)
-    k_buf,  # (2, bb, ps, Dh) VMEM scratch (double buffer)
-    v_buf,
-    sem,  # DMA semaphores (2, 2, bb)
-    *,
+    *rest,  # [ks_pool, vs_pool (Hkv, P, ps) ANY iff quantized,] o_ref, scratch...
     bb: int,
     ps: int,
     max_pages: int,
     Hkv: int,
     scale: float,
+    quantized: bool = False,
 ):
+    if quantized:
+        ks_pool_ref, vs_pool_ref = rest[0], rest[1]
+        o_ref, k_buf, v_buf, sem, ks_buf, vs_buf, ssem = rest[2:]
+    else:
+        ks_pool_ref = vs_pool_ref = ks_buf = vs_buf = ssem = None
+        o_ref, k_buf, v_buf, sem = rest
     i = pl.program_id(0)
     R = pl.num_programs(0) * bb
     B = R // Hkv
@@ -116,6 +127,13 @@ def _paged_kernel(
             pltpu.make_async_copy(
                 v_pool_ref.at[row_h(r), pid], v_buf.at[slot, r], sem.at[slot, 1, r]
             ).start()
+            if quantized:
+                pltpu.make_async_copy(
+                    ks_pool_ref.at[row_h(r), pid], ks_buf.at[slot, r], ssem.at[slot, 0, r]
+                ).start()
+                pltpu.make_async_copy(
+                    vs_pool_ref.at[row_h(r), pid], vs_buf.at[slot, r], ssem.at[slot, 1, r]
+                ).start()
 
     def wait(t, slot):
         for r in range(bb):
@@ -126,6 +144,13 @@ def _paged_kernel(
             pltpu.make_async_copy(
                 v_pool_ref.at[row_h(r), pid], v_buf.at[slot, r], sem.at[slot, 1, r]
             ).wait()
+            if quantized:
+                pltpu.make_async_copy(
+                    ks_pool_ref.at[row_h(r), pid], ks_buf.at[slot, r], ssem.at[slot, 0, r]
+                ).wait()
+                pltpu.make_async_copy(
+                    vs_pool_ref.at[row_h(r), pid], vs_buf.at[slot, r], ssem.at[slot, 1, r]
+                ).wait()
 
     q = q_ref[:]  # (bb, G, Dh)
 
@@ -151,6 +176,13 @@ def _paged_kernel(
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale  # (bb, G, ps)
+        if quantized:
+            # in-register dequant: per-slot K scales fold into the logits,
+            # V scales into the probabilities (same trick as the dense int8
+            # kernel). Scale buffers are (bb, 1, ps) so the multiply is a
+            # natural broadcast — a [:, None, :] reshape of a (bb, ps) tile
+            # fails Mosaic's vector-layout inference.
+            s = s * ks_buf[slot].astype(jnp.float32)
         pos = t * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
         masks = [
             (pos >= scal_ref[B * mp + B + row_b(r)])
@@ -163,6 +195,8 @@ def _paged_kernel(
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            p = p * vs_buf[slot].astype(jnp.float32)
         acc = alpha * acc + jax.lax.dot_general(
             p.astype(q.dtype), v.astype(q.dtype),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -195,19 +229,31 @@ def paged_decode_attention(
     pad_lens: jnp.ndarray,  # (B,) int32: left-pad inside the logical seq
     k_new: jnp.ndarray,  # (B, 1, Hkv, Dh) fresh token (not yet in pages)
     v_new: jnp.ndarray,
+    k_scale: Optional[jnp.ndarray] = None,  # (Hkv, P, ps) bf16 iff int8 pools
+    v_scale: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One decode step of attention over a paged KV cache; returns
     (B, 1, Hq, Dh). The caller scatters k_new/v_new into the pool after the
-    layer scan (write-outside-scan)."""
+    layer scan (write-outside-scan). int8 pools dequantize in-register
+    from per-slot scales (halves the page traffic, like the dense int8
+    cache)."""
     B, _, Hq, Dh = q.shape
     Hkv, P, ps, _ = k_pool.shape
     assert Hq % Hkv == 0
     group = Hq // Hkv
     mp = page_table.shape[1]
+    quantized = k_scale is not None
 
-    if jax.default_backend() != "tpu" and not interpret:
-        return paged_reference(q, k_pool, v_pool, page_table, lengths, pad_lens, k_new, v_new)
+    # int8 scale slabs are (1, ps) DMAs whose lane dim must be 128-aligned
+    # on real TPUs — int8 callers use page_size 128 (infer/slots.py does
+    # this automatically); other page sizes take the XLA gather path.
+    unaligned_int8 = quantized and ps % 128 != 0 and not interpret
+    if (jax.default_backend() != "tpu" or unaligned_int8) and not interpret:
+        return paged_reference(
+            q, k_pool, v_pool, page_table, lengths, pad_lens, k_new, v_new,
+            k_scale=k_scale, v_scale=v_scale,
+        )
 
     R = B * Hkv
     bb = 8
@@ -227,28 +273,51 @@ def paged_decode_attention(
 
     row_block = lambda i, scal: (i, 0, 0)  # noqa: E731
     kernel = functools.partial(
-        _paged_kernel, bb=bb, ps=ps, max_pages=mp, Hkv=Hkv, scale=Dh ** -0.5
+        _paged_kernel, bb=bb, ps=ps, max_pages=mp, Hkv=Hkv, scale=Dh ** -0.5,
+        quantized=quantized,
     )
+    in_specs = [
+        pl.BlockSpec((bb, group, Dh), row_block),
+        pl.BlockSpec((bb, 1, Dh), row_block),
+        pl.BlockSpec((bb, 1, Dh), row_block),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    operands = [scalars, qg, kn, vn, k_pool, v_pool]
+    scratch = [
+        pltpu.VMEM((2, bb, ps, Dh), k_pool.dtype),
+        pltpu.VMEM((2, bb, ps, Dh), v_pool.dtype),
+        pltpu.SemaphoreType.DMA((2, 2, bb)),
+    ]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        # (Hkv, P, 1, ps) f32: page slabs arrive as (1, ps) rows, so the
+        # scale scratch is (bb, 1, ps) and broadcasts against (bb, G, ps)
+        # logits with no shape cast. f32 because bf16 sublane packing (2)
+        # rejects height-1 DMA slices; the cast is ~1 MB/layer, noise next
+        # to the page traffic.
+        operands += [
+            k_scale[:, :, None, :].astype(jnp.float32),
+            v_scale[:, :, None, :].astype(jnp.float32),
+        ]
+        scratch += [
+            pltpu.VMEM((2, bb, 1, ps), jnp.float32),
+            pltpu.VMEM((2, bb, 1, ps), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, bb)),
+        ]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(R // bb,),
-            in_specs=[
-                pl.BlockSpec((bb, group, Dh), row_block),
-                pl.BlockSpec((bb, 1, Dh), row_block),
-                pl.BlockSpec((bb, 1, Dh), row_block),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((bb, group, Dh), row_block),
-            scratch_shapes=[
-                pltpu.VMEM((2, bb, ps, Dh), k_pool.dtype),
-                pltpu.VMEM((2, bb, ps, Dh), v_pool.dtype),
-                pltpu.SemaphoreType.DMA((2, 2, bb)),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((R, group, Dh), q.dtype),
         interpret=interpret,
-    )(scalars, qg, kn, vn, k_pool, v_pool)
+    )(*operands)
     return out.reshape(B, Hkv, group, Dh).reshape(B, 1, Hq, Dh)

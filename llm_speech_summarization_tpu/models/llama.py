@@ -290,10 +290,14 @@ def _block(
         # by the caller-visible write after the scan
         from ..kernels.paged_attention import paged_decode_attention
 
-        k_pool, v_pool = cache_kv  # (Hkv, P, ps, Dh) for THIS layer
+        if len(cache_kv) == 4:  # int8 pools + per-slot scales
+            k_pool, v_pool, k_sc, v_sc = cache_kv
+        else:
+            (k_pool, v_pool), k_sc, v_sc = cache_kv, None, None
         page_table, lengths, pad_lens = attn_args
         attn = paged_decode_attention(
-            q, k_pool, v_pool, page_table, lengths, pad_lens, k, v
+            q, k_pool, v_pool, page_table, lengths, pad_lens, k, v,
+            k_scale=k_sc, v_scale=v_sc,
         )
     elif attn_kind == "decode_pallas":
         from ..kernels.decode_attention import decode_attention
@@ -555,7 +559,11 @@ def llama_forward(
     else:
         if is_decode:
             if is_paged:
-                cache_xs = (kv_cache.k_pool, kv_cache.v_pool)  # leading L
+                cache_xs = (  # leading L on every pool
+                    (kv_cache.k_pool, kv_cache.v_pool, kv_cache.k_scale, kv_cache.v_scale)
+                    if kv_cache.quantized
+                    else (kv_cache.k_pool, kv_cache.v_pool)
+                )
             elif kv_cache.quantized:
                 cache_xs = (kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale)
             else:

@@ -182,10 +182,14 @@ def test_paged_cache_roundtrip_matches_dense():
     assert int(cache.lengths[0]) == 0
 
 
-def test_slot_decoder_paged_matches_dense():
+@pytest.mark.parametrize("cache_dtype", ["float32", "int8"])
+def test_slot_decoder_paged_matches_dense(cache_dtype):
     """SlotDecoder(paged=True) emits exactly the dense slot decoder's
     tokens — full admit → chunk → harvest → re-admit lifecycle, including
-    page growth across chunk boundaries and page recycling."""
+    page growth across chunk boundaries and page recycling. int8 pools
+    quantize identically to the dense int8 cache (same per-row absmax at
+    prefill scatter and decode append), so tokens stay identical there
+    too."""
     import jax
 
     from llm_speech_summarization_tpu.infer.slots import SlotDecoder
@@ -200,7 +204,7 @@ def test_slot_decoder_paged_matches_dense():
     def run(paged):
         dec = SlotDecoder(
             params, cfg, eos_id=0, n_slots=4, max_prompt_len=128,
-            max_new_tokens=16, cache_dtype=jnp.float32,
+            max_new_tokens=16, cache_dtype=jnp.dtype(cache_dtype),
             paged=paged, page_size=64,
         )
         rng = np.random.RandomState(0)
@@ -228,3 +232,40 @@ def test_slot_decoder_paged_matches_dense():
     for k in dense:
         assert dense[k] == paged[k], (k, dense[k], paged[k])
     assert ("w1", 0) in dense and len(dense[("w1", 0)]) == 5
+
+
+def test_paged_kernel_int8_interpret():
+    """int8 pools + per-slot scales: kernel == oracle == dequantized dense.
+    q is scaled down so logits stay O(1) — int8 K values reach ±30, and a
+    sharp softmax would amplify bf16 rounding into spurious output diffs."""
+    q, k_pool, v_pool, ids, lengths, pads, k_new, v_new = _random_paged_case(seed=4)
+    q = q * 0.05
+    rng = np.random.RandomState(9)
+    Hkv, P, ps, Dh = k_pool.shape
+    k_scale = jnp.asarray(0.5 + rng.rand(Hkv, P, ps), jnp.bfloat16)
+    v_scale = jnp.asarray(0.5 + rng.rand(Hkv, P, ps), jnp.bfloat16)
+    k8 = jnp.clip(jnp.round(k_pool * 10), -127, 127).astype(jnp.int8)
+    v8 = jnp.clip(jnp.round(v_pool * 10), -127, 127).astype(jnp.int8)
+    cast = lambda x: x.astype(jnp.bfloat16)  # noqa: E731
+
+    out_k = paged_decode_attention(
+        cast(q), k8, v8, ids, lengths, pads, cast(k_new), cast(v_new),
+        k_scale=k_scale, v_scale=v_scale, interpret=True,
+    )
+    out_r = paged_reference(
+        cast(q), k8, v8, ids, lengths, pads, cast(k_new), cast(v_new),
+        k_scale=k_scale, v_scale=v_scale,
+    )
+    # relative tolerance: the kernel folds scales in f32 AFTER the int8
+    # matmul while the oracle rounds k·scale to bf16 BEFORE it — both are
+    # correct int8 attention, differing by bf16 ulp at the output magnitude
+    a, b = np.asarray(out_k, np.float32), np.asarray(out_r, np.float32)
+    rel = np.abs(a - b) / (np.abs(b) + 1.0)
+    assert rel.max() < 2e-2, rel.max()
+    # and the oracle itself equals attention over the DEQUANTIZED dense pools
+    kd = (k8.astype(jnp.float32) * k_scale[..., None].astype(jnp.float32)).astype(jnp.bfloat16)
+    vd = (v8.astype(jnp.float32) * v_scale[..., None].astype(jnp.float32)).astype(jnp.bfloat16)
+    out_d = paged_reference(cast(q), kd, vd, ids, lengths, pads, cast(k_new), cast(v_new))
+    c = np.asarray(out_d, np.float32)
+    rel2 = np.abs(b - c) / (np.abs(c) + 1.0)
+    assert rel2.max() < 2e-2, rel2.max()
