@@ -44,7 +44,17 @@ class SlotState(NamedTuple):
     tokens: jnp.ndarray  # (N, max_new) int32 emitted tokens, eos-padded
     n_emitted: jnp.ndarray  # (N,) int32
     budgets: jnp.ndarray  # (N,) int32
+    seen: jnp.ndarray  # (N, V) bool iff repetition penalty on, else (N, 1)
 
+
+
+
+def _seed_seen(seen: jnp.ndarray, slot_ids, first) -> jnp.ndarray:
+    """Reset admitted rows' seen-token sets and mark their first token
+    (no-op (N, 1) dummy when the repetition penalty is off)."""
+    if seen.shape[1] == 1:
+        return seen
+    return seen.at[slot_ids].set(False).at[slot_ids, first].set(True)
 
 class SlotDecoder:
     """Device-resident decode slots over a frozen LLM."""
@@ -61,16 +71,21 @@ class SlotDecoder:
         paged: bool = False,
         page_size: int = 64,
         num_pages: Optional[int] = None,
+        repetition_penalty: float = 1.0,
     ):
         self.params = llm_params
         self.cfg = cfg
         self.eos_id = eos_id
         self.n_slots = n_slots
+        # serving-side mirror of infer/generate.py's knob (the reference's
+        # documented greedy-repetition failure, inference.py:169-171)
+        self.repetition_penalty = repetition_penalty
         self.max_new = max_new_tokens
         self.max_len = max_prompt_len + max_new_tokens
         # paged mode (infer/paged.py): ceil(len/page_size) pages per row
-        # instead of max_len reserved per slot. Pools are bf16 in v1 (the
-        # int8 dense cache stays the latency-optimal default — PERF.md).
+        # instead of max_len reserved per slot; bf16 or int8 pools (int8
+        # halves pool bytes — the dense cache stays the latency champion,
+        # PERF.md).
         self.paged = paged
         if paged and jnp.dtype(cache_dtype) == jnp.int8 and page_size % 128 != 0:
             # int8 scale slabs DMA as (1, page_size) rows whose lane dim
@@ -107,6 +122,7 @@ class SlotDecoder:
             )
         else:
             cache = init_kv_cache(self.cfg, N, self.max_len, dtype=self.cache_dtype)
+        V = self.cfg.vocab_size if self.repetition_penalty != 1.0 else 1
         return SlotState(
             cache=cache,
             pad_lens=jnp.zeros((N,), jnp.int32),
@@ -116,6 +132,7 @@ class SlotDecoder:
             tokens=jnp.full((N, self.max_new), self.eos_id, jnp.int32),
             n_emitted=jnp.zeros((N,), jnp.int32),
             budgets=jnp.zeros((N,), jnp.int32),
+            seen=jnp.zeros((N, V), bool),
         )
 
     # ------------------------------------------------------------------
@@ -266,6 +283,7 @@ class SlotDecoder:
                     tokens=state.tokens.at[slot_ids].set(row_tokens),
                     n_emitted=state.n_emitted.at[slot_ids].set(1),
                     budgets=state.budgets.at[slot_ids].set(budgets),
+                    seen=_seed_seen(state.seen, slot_ids, first),
                 )
 
             self._admit_fns[key] = fn
@@ -336,6 +354,7 @@ class SlotDecoder:
                     tokens=state.tokens.at[slot_ids].set(row_tokens),
                     n_emitted=state.n_emitted.at[slot_ids].set(1),
                     budgets=state.budgets.at[slot_ids].set(budgets),
+                    seen=_seed_seen(state.seen, slot_ids, first),
                 )
 
             self._admit_fns[key] = fn
@@ -347,6 +366,7 @@ class SlotDecoder:
             N = self.n_slots
 
             paged = self.paged
+            rep = self.repetition_penalty
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def fn(params, state: SlotState):
@@ -374,7 +394,11 @@ class SlotDecoder:
                             cache_offset=s.offsets,  # per-row depths
                             kv_pad_lens=s.pad_lens,
                         )
-                    nxt = jnp.argmax(out.logits[:, 0], axis=-1).astype(jnp.int32)
+                    logits = out.logits[:, 0]
+                    if rep != 1.0:
+                        pen = jnp.where(logits > 0, logits / rep, logits * rep)
+                        logits = jnp.where(s.seen, pen, logits)
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     nxt = jnp.where(s.done, jnp.int32(eos), nxt)
                     emit = ~s.done
                     tokens = s.tokens.at[
@@ -388,6 +412,11 @@ class SlotDecoder:
                     new_cache = out.kv_cache
                     if paged:  # keep pool lengths synced for grow_pages
                         new_cache = new_cache._replace(lengths=offsets)
+                    seen = (
+                        s.seen.at[jnp.arange(N), nxt].set(True)
+                        if rep != 1.0
+                        else s.seen
+                    )
                     return SlotState(
                         cache=new_cache,
                         pad_lens=s.pad_lens,
@@ -397,6 +426,7 @@ class SlotDecoder:
                         tokens=tokens,
                         n_emitted=n_emitted,
                         budgets=s.budgets,
+                        seen=seen,
                     )
 
                 return jax.lax.fori_loop(0, k_steps, step, state)

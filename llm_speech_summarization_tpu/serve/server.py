@@ -165,6 +165,7 @@ class ContinuousBatchingEngine:
             max_prompt_len=max_prompt_len,
             max_new_tokens=max_new_tokens,
             cache_dtype=engine.cache_dtype,
+            repetition_penalty=getattr(engine, "repetition_penalty", 1.0),
         )
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._prepared: "queue.Queue" = queue.Queue()

@@ -171,3 +171,39 @@ def test_slot_decoder_int8_cache_donation():
     got = dec.harvest()
     assert sorted(s for s, _, _ in got) == [0, 1]
     assert all(n == 8 for _, _, n in got)
+
+
+def test_slot_decoder_repetition_penalty():
+    """The serving decoder mirrors generate.py's repetition penalty: a
+    flattened model greedy-loops one token; a huge penalty forbids repeats."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llm_speech_summarization_tpu.infer.slots import SlotDecoder
+    from llm_speech_summarization_tpu.models.llama import (
+        init_llama_params,
+        llama_preset,
+    )
+
+    cfg = llama_preset("tiny")
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params = jax.tree_util.tree_map(lambda x: x * 1e-3, params)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, cfg.vocab_size, (2, 16))
+    embeds = params["embed_tokens"][jnp.asarray(ids)]
+
+    def run(penalty):
+        dec = SlotDecoder(params, cfg, eos_id=0, n_slots=4, max_prompt_len=64,
+                          max_new_tokens=12, cache_dtype=jnp.float32,
+                          repetition_penalty=penalty)
+        dec.admit(embeds, jnp.ones((2, 16), bool), [0, 1], [12, 12])
+        dec.decode_chunk(11)
+        return {s: t[:n] for s, t, n in dec.harvest()}
+
+    plain = run(1.0)
+    assert any(len(np.unique(t)) <= 3 for t in plain.values())  # it loops
+    pen = run(1e6)
+    for t in pen.values():
+        non_eos = t[t != 0]
+        assert len(np.unique(non_eos)) == len(non_eos), t
