@@ -418,11 +418,17 @@ class SummarizationServer:
         self.batcher.shutdown()
 
 
-def serve(config, host: str = "0.0.0.0", port: int = 8080, **engine_kwargs):
-    """Build an engine from config and serve forever."""
+def serve(config, host: str = "0.0.0.0", port: int = 8080, warmup: bool = True,
+          **engine_kwargs):
+    """Build an engine from config and serve forever. ``warmup`` pre-compiles
+    every admission batch shape before accepting traffic (each first
+    occurrence otherwise stalls live requests for an XLA compile)."""
     from ..infer.engine import LLMSpeechTextInference
 
     engine = LLMSpeechTextInference(config, **engine_kwargs)
     server = SummarizationServer(engine, host=host, port=port)
+    if warmup:
+        print("warming up (compiling admission shapes)...")
+        server.warmup()
     print(f"serving on {host}:{server.port}")
     server.serve_forever()
