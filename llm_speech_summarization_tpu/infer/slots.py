@@ -100,6 +100,12 @@ class SlotDecoder:
             worst = n_slots * pages_needed_for(self.max_len, page_size)
             self.num_pages = num_pages or max(2, int(0.6 * worst) + 1)
             self.allocator = PageAllocator(self.num_pages)
+            # host mirror of page ownership per slot: alloc/free decisions
+            # never read the device table (each read is an RPC round-trip
+            # on remote backends)
+            self._host_table = np.zeros(
+                (n_slots, pages_needed_for(self.max_len, page_size)), np.int32
+            )
         self.cache_dtype = cache_dtype  # bf16/f32 or int8 (paged included)
         self.state = self._init_state()
         self._admit_fns = {}
@@ -173,16 +179,28 @@ class SlotDecoder:
         if self.paged:
             ps = self.page_size
             T_pages = -(-T // ps) * ps  # prompts pad up to a page multiple
-            # recycle the reused slots' pages, then allocate the prompt's.
-            # Done rows may briefly read recycled pages — harmless, their
-            # decode outputs are discarded (masked by `done`).
-            table = np.asarray(self.state.cache.page_table)
-            for s in slot_ids:
-                self.allocator.free(table[s][table[s] != 0].tolist())
-            pages = np.asarray(
-                [self.allocator.alloc(T_pages // ps) for _ in range(n)], np.int32
-            )
-            extra = (jnp.asarray(pages),)
+            # Recycle the reused slots' pages (host mirror — page ownership
+            # never needs a device read), then RESERVE each request's full
+            # page need up front: prompt + its token budget. No mid-decode
+            # allocation can then ever fail; pool pressure surfaces HERE,
+            # where the scheduler can defer the wave (serve/server.py
+            # catches MemoryError and retries at the next chunk boundary).
+            # Freed pages may be re-allocated while done rows' device table
+            # rows still reference them — harmless, done rows' decode
+            # outputs are discarded (masked by `done`).
+            self._free_rows(slot_ids)
+            n_data = T_pages // ps
+            mp = self._host_table.shape[1]
+            full_rows = np.zeros((n, mp), np.int32)
+            try:
+                for i, b in enumerate(budgets):
+                    need = pages_needed_for(T + min(b, self.max_new), ps)
+                    full_rows[i, :need] = self.allocator.alloc(need)
+            except MemoryError:
+                self.allocator.free(full_rows[full_rows != 0].tolist())
+                raise
+            self._host_table[np.asarray(slot_ids)] = full_rows
+            extra = (jnp.asarray(full_rows[:, :n_data]), jnp.asarray(full_rows))
         fn = self._admit_fn(n, T)
         self.state = fn(
             self.params,
@@ -194,25 +212,17 @@ class SlotDecoder:
             *extra,
         )
 
-    def ensure_capacity(self, lookahead: int) -> None:
-        """Paged mode, between chunks: allocate pages covering every live
-        row's next ``lookahead`` tokens so mid-chunk page-boundary
-        crossings never write an unallocated page. No-op for dense slots."""
-        if not self.paged:
-            return
-        from .paged import grow_pages
-
-        live = [int(i) for i in np.nonzero(~np.asarray(self.state.done))[0]]
-        if not live:
-            return
-        cache2, grew = grow_pages(
-            self.state.cache, self.allocator, live, lookahead=lookahead + 1
-        )
-        if grew:
-            self.state = self.state._replace(cache=cache2)
+    def _free_rows(self, rows) -> None:
+        """Return ``rows``' pages to the allocator (host mirror only — the
+        device table is overwritten on the next admit of each slot)."""
+        for s in rows:
+            held = self._host_table[s]
+            self.allocator.free(held[held != 0].tolist())
+            self._host_table[s] = 0
 
     def decode_chunk(self, k_steps: int = 8) -> None:
-        self.ensure_capacity(k_steps)
+        # paged capacity is fully reserved at admission (prompt + budget),
+        # so chunks never allocate — no mid-decode OOM by construction
         self.state = self._chunk_fn(k_steps)(self.params, self.state)
 
     def harvest(
@@ -231,6 +241,11 @@ class SlotDecoder:
         self.state = self.state._replace(
             budgets=self.state.budgets.at[jnp.asarray(ready)].set(0)
         )
+        if self.paged:
+            # free finished rows' pages immediately — holding them until
+            # slot REUSE exhausted the pool under load (found by driving
+            # the full-size HTTP path, scripts/bench_serve.py --paged)
+            self._free_rows(ready.tolist())
         return [(int(s), tokens[i], int(counts[i])) for i, s in enumerate(ready)]
 
     def live_count(self, done: Optional[np.ndarray] = None) -> int:
@@ -298,7 +313,8 @@ class SlotDecoder:
             cfg, eos, max_new = self.cfg, self.eos_id, self.max_new
 
             @functools.partial(jax.jit, donate_argnums=(1,))
-            def fn(params, state: SlotState, embeds, mask, slot_ids, budgets, pages):
+            def fn(params, state: SlotState, embeds, mask, slot_ids, budgets,
+                   pages, full_rows):
                 from .paged import write_prefill_pages_batch
 
                 tmp = init_kv_cache(cfg, n, T, dtype=self.cache_dtype)
@@ -339,9 +355,12 @@ class SlotDecoder:
                     pads,
                     **scales,
                 )
-                # real prompt length, not the page-padded buffer length
+                # real prompt length, not the page-padded buffer length; the
+                # table row carries the FULL reservation (prompt + budget
+                # pages) so decode appends always land on owned pages
                 new_cache = new_cache._replace(
-                    lengths=new_cache.lengths.at[slot_ids].set(T)
+                    lengths=new_cache.lengths.at[slot_ids].set(T),
+                    page_table=new_cache.page_table.at[slot_ids].set(full_rows),
                 )
                 row_tokens = jnp.full((n, max_new), eos, jnp.int32).at[:, 0].set(first)
                 done0 = (first == eos) | (budgets <= 1)

@@ -148,6 +148,7 @@ class ContinuousBatchingEngine:
         max_new_tokens: int = 256,
         max_admit: int = 8,
         admit_wait_ms: float = 100.0,
+        paged: bool = False,
     ):
         import jax.numpy as jnp
 
@@ -166,6 +167,7 @@ class ContinuousBatchingEngine:
             max_new_tokens=max_new_tokens,
             cache_dtype=engine.cache_dtype,
             repetition_penalty=getattr(engine, "repetition_penalty", 1.0),
+            paged=paged,
         )
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._prepared: "queue.Queue" = queue.Queue()
@@ -288,6 +290,19 @@ class ContinuousBatchingEngine:
                 )
                 for s, r in zip(slots, reqs):
                     self._by_slot[s] = r
+            except MemoryError as e:
+                # paged pool full: admission reserves each request's whole
+                # page need up front, so pressure surfaces here — defer the
+                # wave until harvested rows free pages (next chunk boundary)
+                if self._by_slot:
+                    return
+                # nothing live will ever free pages: the wave simply cannot
+                # fit this pool — fail it rather than deadlock
+                for r in reqs:
+                    r.error = f"MemoryError: {e}"
+                    r.event.set()
+                self._pending_wave = None
+                return
             except Exception as e:
                 for r in reqs:
                     r.error = f"{type(e).__name__}: {e}"
@@ -341,11 +356,13 @@ class SummarizationServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 8080,
                  max_batch: int = 32, max_wait_ms: float = 20.0,
                  continuous: bool = True, n_slots: int = 32,
-                 chunk_steps: int = 16, max_new_tokens: int = 256):
+                 chunk_steps: int = 16, max_new_tokens: int = 256,
+                 paged: bool = False):
         if continuous:
             self.batcher = ContinuousBatchingEngine(
                 engine, n_slots=n_slots, chunk_steps=chunk_steps,
                 max_admit=max_batch, max_new_tokens=max_new_tokens,
+                paged=paged,
             )
         else:
             self.batcher = BatchingEngine(engine, max_batch, max_wait_ms)

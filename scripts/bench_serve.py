@@ -32,6 +32,8 @@ def main():
     p.add_argument("--long-tokens", type=int, default=64)
     p.add_argument("--port", type=int, default=8123)
     p.add_argument("--request-level", action="store_true")
+    p.add_argument("--paged", action="store_true",
+                   help="continuous mode with the paged KV cache")
     p.add_argument("--n-slots", type=int, default=64)
     args = p.parse_args()
 
@@ -44,7 +46,7 @@ def main():
     server = SummarizationServer(
         engine, host="127.0.0.1", port=args.port,
         continuous=not args.request_level, n_slots=args.n_slots,
-        max_new_tokens=args.long_tokens,
+        max_new_tokens=args.long_tokens, paged=args.paged,
     )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -105,8 +107,10 @@ def main():
     wall = wave(record=True)
 
     served = args.n - len(errs)
+    mode = "request-level" if args.request_level else (
+        "continuous-paged" if args.paged else "continuous")
     out = {
-        "mode": "request-level" if args.request_level else "continuous",
+        "mode": mode,
         "served": served,
         "errors": len(errs),
         "wall_s": round(wall, 2),
