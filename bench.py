@@ -32,6 +32,11 @@ import traceback
 
 import numpy as np
 
+sys.path.insert(0, ".")
+from llm_speech_summarization_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 BASELINE_UTT_PER_S = 0.53  # documented estimate, see module docstring
 
 BATCH = 128

@@ -21,6 +21,9 @@ import argparse
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("kind", choices=["llm", "encoder"])
     parser.add_argument("--hf_dir", type=str, required=True,

@@ -14,6 +14,9 @@ import argparse
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str, required=True,
                         help="yaml file for configuration")

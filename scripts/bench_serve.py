@@ -22,6 +22,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
+from llm_speech_summarization_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def main():

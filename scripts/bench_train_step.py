@@ -13,6 +13,9 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
+from llm_speech_summarization_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 from llm_speech_summarization_tpu.configs import load_config
 from llm_speech_summarization_tpu.data import SyntheticSpeechDataset, collate_batch

@@ -25,3 +25,11 @@ except Exception:
 
 # repo root importable regardless of cwd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# persistent compilation cache: most of the suite's wall time is XLA
+# compiles that are identical run to run
+from llm_speech_summarization_tpu.utils.compile_cache import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
