@@ -12,10 +12,13 @@ dominated, so co-scheduled requests ride almost free). This module adds:
   * ``SummarizationServer`` — stdlib ThreadingHTTPServer exposing
       POST /v1/audio_summary   {"audio": [f32...] | "audio_b64": <i16 pcm>,
                                 "sample_rate": 16000, "text_prompt": "",
-                                "max_new_tokens": 128}
-      POST /v1/text_response   {"text": "...", "max_new_tokens": 128}
+                                "max_new_tokens": 128, "stream": false}
+      POST /v1/text_response   {"text": "...", "max_new_tokens": 128,
+                                "stream": false}
       GET  /healthz
     JSON in/out; audio is resampled host-side via the native frontend.
+    ``"stream": true`` (continuous scheduler) returns chunked ndjson:
+    {"delta": ...} per decode chunk, then {"done": true, "response": ...}.
 """
 
 from __future__ import annotations
@@ -41,6 +44,11 @@ class _Request:
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[str] = None
     error: Optional[str] = None
+    # streaming (continuous scheduler only): text deltas arrive on
+    # ``partials`` after every decode chunk; None closes the stream
+    stream: bool = False
+    partials: "queue.Queue" = field(default_factory=queue.Queue)
+    _sent: int = 0  # chars already streamed
 
     @property
     def group_key(self):
@@ -267,6 +275,8 @@ class ContinuousBatchingEngine:
                 except Exception as e:  # surface per-request
                     for r in reqs:
                         r.error = f"{type(e).__name__}: {e}"
+                        if r.stream:
+                            r.partials.put(None)
                         r.event.set()
 
     def _admit_wave(self, done):
@@ -300,12 +310,16 @@ class ContinuousBatchingEngine:
                 # fit this pool — fail it rather than deadlock
                 for r in reqs:
                     r.error = f"MemoryError: {e}"
+                    if r.stream:
+                        r.partials.put(None)
                     r.event.set()
                 self._pending_wave = None
                 return
             except Exception as e:
                 for r in reqs:
                     r.error = f"{type(e).__name__}: {e}"
+                    if r.stream:
+                        r.partials.put(None)
                     r.event.set()
             self._pending_wave = None
 
@@ -326,14 +340,43 @@ class ContinuousBatchingEngine:
             self.decoder.decode_chunk(self.chunk_steps)
             self.batches_run += 1
             flags = self.decoder.sync_flags()
+            self._emit_partials(flags)
             for slot, tokens, n in self.decoder.harvest(flags):
                 req = self._by_slot.pop(slot, None)
                 if req is None:
                     continue
                 n = min(n, req.max_new_tokens)
                 req.result = tok.decode(tokens[:n].tolist(), skip_special_tokens=True)
+                if req.stream:
+                    tail = req.result[req._sent:]
+                    if tail:
+                        req.partials.put(tail)
+                    req.partials.put(None)  # end-of-stream
                 self.requests_served += 1
                 req.event.set()
+
+    def _emit_partials(self, flags):
+        """Stream text deltas for live streaming slots after each chunk.
+        One extra device→host gather per chunk, only while streams exist;
+        deltas re-detokenize the full prefix (cheap) and send the suffix
+        beyond what the client already has."""
+        live_streams = [
+            (s, r) for s, r in self._by_slot.items() if r.stream and not flags[0][s]
+        ]
+        if not live_streams:
+            return
+        import numpy as np_  # local alias; numpy already imported module-level
+
+        slots = [s for s, _ in live_streams]
+        rows = np_.asarray(self.decoder.state.tokens[np_.asarray(slots)])
+        counts = flags[2]
+        tok = self.engine.tokenizer
+        for (s, r), row in zip(live_streams, rows):
+            n = min(int(counts[s]), r.max_new_tokens)
+            text = tok.decode(row[:n].tolist(), skip_special_tokens=True)
+            if len(text) > r._sent:
+                r.partials.put(text[r._sent:])
+                r._sent = len(text)
 
 
 def _decode_audio(body: Dict[str, Any], target_sr: int) -> np.ndarray:
@@ -372,8 +415,38 @@ class SummarizationServer:
         self.warmup = getattr(self.batcher, "warmup", lambda **kw: None)
 
         class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"  # chunked streaming responses
+
             def log_message(self, fmt, *args):  # quiet
                 pass
+
+            def _stream(self, req: _Request):
+                """Chunked ndjson: {"delta": ...} per decode chunk, then a
+                final {"done": true, "response": ...} (or {"error": ...})."""
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def write(obj):
+                    data = json.dumps(obj).encode() + b"\n"
+                    self.wfile.write(
+                        f"{len(data):x}\r\n".encode() + data + b"\r\n"
+                    )
+                    self.wfile.flush()
+
+                while True:
+                    piece = req.partials.get(timeout=600)
+                    if piece is None:
+                        break
+                    write({"delta": piece})
+                req.event.wait(timeout=10)
+                if req.error:
+                    write({"error": req.error})
+                else:
+                    write({"done": True, "response": req.result})
+                self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
 
             def _respond(self, code: int, obj: Dict[str, Any]):
                 data = json.dumps(obj).encode()
@@ -407,6 +480,16 @@ class SummarizationServer:
                         )
                     else:
                         self._respond(404, {"error": "not found"})
+                        return
+                    # streaming rides the continuous scheduler's per-chunk
+                    # partials; the request-level batcher has no mid-flight
+                    # tokens, so it falls back to a single response
+                    if body.get("stream") and isinstance(
+                        outer.batcher, ContinuousBatchingEngine
+                    ):
+                        req.stream = True
+                        outer.batcher._queue.put(req)
+                        self._stream(req)
                         return
                     result = outer.batcher.submit(req)
                     self._respond(200, {"response": result})

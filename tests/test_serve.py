@@ -99,3 +99,47 @@ def test_concurrent_requests_are_batched(server):
     # 6 concurrent compatible requests must run in fewer engine calls
     assert server.batcher.batches_run - before < 6
     assert server.batcher.requests_served >= 6
+
+
+def test_streaming_response():
+    """"stream": true returns chunked ndjson deltas that concatenate to the
+    exact non-streamed response (continuous scheduler's per-chunk partials)."""
+    import http.client
+    import json as json_
+
+    from llm_speech_summarization_tpu.configs import load_config
+    from llm_speech_summarization_tpu.infer.engine import LLMSpeechTextInference
+    from llm_speech_summarization_tpu.serve.server import SummarizationServer
+
+    cfg = load_config(TINY_YAML)
+    eng = LLMSpeechTextInference(cfg)
+    server = SummarizationServer(eng, host="127.0.0.1", port=0, continuous=True,
+                                 chunk_steps=4, max_new_tokens=32)
+    server.start_background()
+    try:
+        def post(stream):
+            conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
+            body = json_.dumps({"text": "summarize: the cat sat on the mat",
+                                "max_new_tokens": 24, "stream": stream})
+            conn.request("POST", "/v1/text_response", body,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            raw = resp.read()
+            conn.close()
+            assert resp.status == 200
+            return raw
+
+        plain = json_.loads(post(False))["response"]
+
+        lines = [json_.loads(x) for x in post(True).splitlines() if x.strip()]
+        assert lines, "no ndjson chunks"
+        final = lines[-1]
+        assert final.get("done") is True
+        deltas = "".join(x.get("delta", "") for x in lines[:-1])
+        # the final message carries the authoritative full response; the
+        # streamed deltas must be a prefix-consistent reconstruction of it
+        assert final["response"] == plain
+        assert deltas == plain, (deltas, plain)
+        assert len(lines) >= 2  # at least one delta before the final
+    finally:
+        server.shutdown()
