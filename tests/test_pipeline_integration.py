@@ -109,3 +109,49 @@ def test_metrics_writer_jsonl(tmp_path):
         tags.update(r.keys())
     assert {"train/ntp_loss", "train/ld_loss", "learning_rate",
             "validation/audio_perplexity", "prompt"} <= tags
+
+
+def test_flac_tree_to_preprocess_cli_to_training(tmp_path):
+    """The complete reference user journey through OUR surfaces: a
+    LibriSpeech-layout FLAC tree → the preprocess CLI (--input) → HF-disk
+    split → Trainer. Joins the seams tests cover separately (FLAC decode,
+    preprocessing, training) into one end-to-end run."""
+    import numpy as np
+
+    from tests.flac_writer import encode_flac
+
+    # LibriSpeech tree: spk/chap/utt.flac + trans.txt
+    d = tmp_path / "libri" / "7" / "70"
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(4):
+        utt = f"7-70-{i:04d}"
+        x = (rng.randn(12000) * 3000).astype(np.int16)
+        (d / f"{utt}.flac").write_bytes(encode_flac([x], mode="fixed2"))
+        lines.append(f"{utt} SOME SPOKEN WORDS NUMBER {i}")
+    (d / "7-70.trans.txt").write_text("\n".join(lines))
+
+    out = str(tmp_path / "train_preprocessed.hf")
+    from llm_speech_summarization_tpu.cli.preprocess import main as preprocess_main
+
+    preprocess_main([
+        "-c", TINY_YAML, "--input", str(tmp_path / "libri"),
+        "--output", out, "--batch_size", "4",
+    ])
+
+    cfg = load_config(TINY_YAML)
+    cfg.log.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.log.log_dir = str(tmp_path / "logs")
+    cfg.log.num_generate_samples = 0
+    cfg.data.source = "hf_disk"
+    cfg.data.base_path = str(tmp_path)
+    cfg.data.train_set = ("train_preprocessed.hf",)
+    cfg.data.val_set = ("train_preprocessed.hf",)
+    cfg.train.steps = 2
+
+    from llm_speech_summarization_tpu.train.trainer import Trainer
+
+    t = Trainer(cfg, run_name="flac_e2e")
+    t.train()
+    assert t.step == 2
