@@ -213,34 +213,16 @@ class LLMSpeechTextInference:
         key = (has_text, total_len)
         if key not in self._audio_prompt_fns:
             setup = self.encoder_setup
-            prefix_ids, suffix_ids, dtype = self.prefix_ids, self.suffix_ids, self.dtype
-            embed_rows = self._embed_rows
-            P = int(prefix_ids.shape[0])
-            S = int(suffix_ids.shape[0])
 
             def fn(enc_params, llm_params, wav, wav_lens, ranges, txt_ids, txt_lens):
                 audio_embeds, emb_lens = audio_encoder_forward(
                     enc_params, setup, wav, wav_lens, ctc_pool_ranges=ranges
                 )
-                if has_text:
-                    txt_embeds = embed_rows(llm_params, txt_ids)
-                    mid, mid_lens = concat_mid_buffers(
-                        txt_embeds, txt_lens, audio_embeds.astype(dtype), emb_lens
-                    )
-                else:
-                    mid, mid_lens = audio_embeds.astype(dtype), emb_lens
-                # splice only embeds prefix/suffix rows: hand it a (P+S, D)
-                # mini-table of exactly those (dequantized) rows instead of
-                # the (V, D) table, so int8-quantized models never
-                # materialize a full bf16 table
-                mini = embed_rows(llm_params, jnp.concatenate([prefix_ids, suffix_ids]))
-                sp = splice_sequences(
-                    mini,
-                    jnp.arange(P, dtype=jnp.int32),
-                    jnp.arange(P, P + S, dtype=jnp.int32),
-                    mid, mid_lens, total_len=total_len,
+                # encoder + the shared splice tail trace into ONE program
+                return self._splice_body(
+                    llm_params, audio_embeds, emb_lens, txt_ids, txt_lens,
+                    has_text=has_text, total_len=total_len,
                 )
-                return sp.embeds, sp.attn_mask
 
             self._audio_prompt_fns[key] = jax.jit(fn)
         return self._audio_prompt_fns[key]
@@ -415,6 +397,34 @@ class LLMSpeechTextInference:
             outs = list(ex.map(job, range(n)))
         return self._concat_embeds_jit([o[0] for o in outs], [o[1] for o in outs])
 
+    def _splice_body(self, llm_params, audio_embeds, emb_lens, txt_ids,
+                     txt_lens, *, has_text: bool, total_len: int):
+        """Traceable splice tail shared by the fused prompt builder and the
+        pipelined path: optional text embeds + mid-buffer concat
+        (reference: inference.py:113-122) and the [prefix | mid | suffix]
+        splice (reference: utils.py:49-73). The splice only embeds
+        prefix/suffix rows, so it gets a (P+S, D) mini-table of exactly
+        those (dequantized) rows — int8-quantized models never materialize
+        a full bf16 table."""
+        embed_rows, dtype = self._embed_rows, self.dtype
+        prefix_ids, suffix_ids = self.prefix_ids, self.suffix_ids
+        P, S = int(prefix_ids.shape[0]), int(suffix_ids.shape[0])
+        if has_text:
+            txt_embeds = embed_rows(llm_params, txt_ids)
+            mid, mid_lens = concat_mid_buffers(
+                txt_embeds, txt_lens, audio_embeds.astype(dtype), emb_lens
+            )
+        else:
+            mid, mid_lens = audio_embeds.astype(dtype), emb_lens
+        mini = embed_rows(llm_params, jnp.concatenate([prefix_ids, suffix_ids]))
+        sp = splice_sequences(
+            mini,
+            jnp.arange(P, dtype=jnp.int32),
+            jnp.arange(P, P + S, dtype=jnp.int32),
+            mid, mid_lens, total_len=total_len,
+        )
+        return sp.embeds, sp.attn_mask
+
     def _splice_fn(self, has_text: bool, total_len: int):
         """Jitted (audio_embeds, emb_lens) → spliced prompt; the encoder-free
         tail of _audio_prompt_fn, used by the pipelined upload path."""
@@ -422,27 +432,11 @@ class LLMSpeechTextInference:
         if not hasattr(self, "_splice_fns"):
             self._splice_fns = {}
         if key not in self._splice_fns:
-            prefix_ids, suffix_ids, dtype = self.prefix_ids, self.suffix_ids, self.dtype
-            embed_rows = self._embed_rows
-            P = int(prefix_ids.shape[0])
-            S = int(suffix_ids.shape[0])
-
             def fn(llm_params, audio_embeds, emb_lens, txt_ids, txt_lens):
-                if has_text:
-                    txt_embeds = embed_rows(llm_params, txt_ids)
-                    mid, mid_lens = concat_mid_buffers(
-                        txt_embeds, txt_lens, audio_embeds.astype(dtype), emb_lens
-                    )
-                else:
-                    mid, mid_lens = audio_embeds.astype(dtype), emb_lens
-                mini = embed_rows(llm_params, jnp.concatenate([prefix_ids, suffix_ids]))
-                sp = splice_sequences(
-                    mini,
-                    jnp.arange(P, dtype=jnp.int32),
-                    jnp.arange(P, P + S, dtype=jnp.int32),
-                    mid, mid_lens, total_len=total_len,
+                return self._splice_body(
+                    llm_params, audio_embeds, emb_lens, txt_ids, txt_lens,
+                    has_text=has_text, total_len=total_len,
                 )
-                return sp.embeds, sp.attn_mask
 
             self._splice_fns[key] = jax.jit(fn)
         return self._splice_fns[key]

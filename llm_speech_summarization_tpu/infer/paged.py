@@ -234,9 +234,9 @@ def write_prefill_pages_batch(
     return cache._replace(
         k_pool=k_pool,
         v_pool=v_pool,
-        page_table=cache.page_table.at[rows].set(table_rows),
-        lengths=cache.lengths.at[rows].set(T),
-        pad_lens=cache.pad_lens.at[rows].set(pad_lens),
+        page_table=cache.page_table.at[rows].set(table_rows, mode="drop"),
+        lengths=cache.lengths.at[rows].set(T, mode="drop"),
+        pad_lens=cache.pad_lens.at[rows].set(pad_lens, mode="drop"),
         k_scale=k_scale,
         v_scale=v_scale,
     )

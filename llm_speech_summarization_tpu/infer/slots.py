@@ -29,10 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.llama import KVCache, LlamaConfig, init_kv_cache, llama_forward
-
-
-def pages_needed_for(n_tokens: int, page_size: int) -> int:
-    return -(-n_tokens // page_size)
+from .paged import pages_needed as pages_needed_for
 
 
 class SlotState(NamedTuple):
@@ -54,7 +51,9 @@ def _seed_seen(seen: jnp.ndarray, slot_ids, first) -> jnp.ndarray:
     (no-op (N, 1) dummy when the repetition penalty is off)."""
     if seen.shape[1] == 1:
         return seen
-    return seen.at[slot_ids].set(False).at[slot_ids, first].set(True)
+    return seen.at[slot_ids].set(False, mode="drop").at[slot_ids, first].set(
+        True, mode="drop"
+    )
 
 class SlotDecoder:
     """Device-resident decode slots over a frozen LLM."""
@@ -174,7 +173,30 @@ class SlotDecoder:
         budgets: List[int],
     ) -> None:
         n, T, _ = embeds.shape
-        assert T + self.max_new <= self.max_len, (T, self.max_new, self.max_len)
+        if T + self.max_new > self.max_len:
+            # a real request-contract error (not an assert: must survive -O
+            # and produce an actionable message at the serving layer)
+            raise ValueError(
+                f"prompt bucket {T} exceeds the decoder's max_prompt_len "
+                f"{self.max_len - self.max_new}; raise max_prompt_len when "
+                f"building the server/decoder"
+            )
+        # pad the wave to a power-of-two batch: admission compiles one XLA
+        # program per (n, T), and warmup() pre-compiles exactly the pow2
+        # sizes — arbitrary wave sizes would stall live traffic on fresh
+        # compiles. Padded rows target slot id N (out of range): every
+        # scatter uses mode="drop", so they write nowhere.
+        n_real = n
+        n_pad = 1
+        while n_pad < n:
+            n_pad *= 2
+        if n_pad != n:
+            reps = n_pad - n
+            embeds = jnp.concatenate([embeds, jnp.tile(embeds[:1], (reps, 1, 1))])
+            mask = jnp.concatenate([mask, jnp.tile(mask[:1], (reps, 1))])
+            slot_ids = list(slot_ids) + [self.n_slots] * reps
+            budgets = list(budgets) + [0] * reps
+            n = n_pad
         extra = ()
         if self.paged:
             ps = self.page_size
@@ -188,18 +210,18 @@ class SlotDecoder:
             # Freed pages may be re-allocated while done rows' device table
             # rows still reference them — harmless, done rows' decode
             # outputs are discarded (masked by `done`).
-            self._free_rows(slot_ids)
+            self._free_rows(slot_ids[:n_real] if n_pad != n_real else slot_ids)
             n_data = T_pages // ps
             mp = self._host_table.shape[1]
             full_rows = np.zeros((n, mp), np.int32)
             try:
-                for i, b in enumerate(budgets):
+                for i, b in enumerate(budgets[:n_real]):  # padded rows: none
                     need = pages_needed_for(T + min(b, self.max_new), ps)
                     full_rows[i, :need] = self.allocator.alloc(need)
             except MemoryError:
                 self.allocator.free(full_rows[full_rows != 0].tolist())
                 raise
-            self._host_table[np.asarray(slot_ids)] = full_rows
+            self._host_table[np.asarray(slot_ids[:n_real])] = full_rows[:n_real]
             extra = (jnp.asarray(full_rows[:, :n_data]), jnp.asarray(full_rows))
         fn = self._admit_fn(n, T)
         self.state = fn(
@@ -244,8 +266,20 @@ class SlotDecoder:
         if self.paged:
             # free finished rows' pages immediately — holding them until
             # slot REUSE exhausted the pool under load (found by driving
-            # the full-size HTTP path, scripts/bench_serve.py --paged)
+            # the full-size HTTP path, scripts/bench_serve.py --paged) —
+            # AND zero their DEVICE table rows: done slots keep writing
+            # their last K/V at a fixed position every chunk (llama_forward
+            # has no per-row active mask), so a stale table entry would let
+            # a finished slot corrupt pages re-allocated to live requests.
+            # Zeroed rows sink those writes into the null page 0.
             self._free_rows(ready.tolist())
+            self.state = self.state._replace(
+                cache=self.state.cache._replace(
+                    page_table=self.state.cache.page_table.at[
+                        jnp.asarray(ready)
+                    ].set(0)
+                )
+            )
         return [(int(s), tokens[i], int(counts[i])) for i, s in enumerate(ready)]
 
     def live_count(self, done: Optional[np.ndarray] = None) -> int:
@@ -278,26 +312,26 @@ class SlotDecoder:
 
                 cache = state.cache
                 new_cache = KVCache(
-                    cache.k.at[:, slot_ids, :, :T, :].set(tmpc.k),
-                    cache.v.at[:, slot_ids, :, :T, :].set(tmpc.v),
+                    cache.k.at[:, slot_ids, :, :T, :].set(tmpc.k, mode="drop"),
+                    cache.v.at[:, slot_ids, :, :T, :].set(tmpc.v, mode="drop"),
                     None
                     if cache.k_scale is None
-                    else cache.k_scale.at[:, slot_ids, :, :T].set(tmpc.k_scale),
+                    else cache.k_scale.at[:, slot_ids, :, :T].set(tmpc.k_scale, mode="drop"),
                     None
                     if cache.v_scale is None
-                    else cache.v_scale.at[:, slot_ids, :, :T].set(tmpc.v_scale),
+                    else cache.v_scale.at[:, slot_ids, :, :T].set(tmpc.v_scale, mode="drop"),
                 )
                 row_tokens = jnp.full((n, max_new), eos, jnp.int32).at[:, 0].set(first)
                 done0 = (first == eos) | (budgets <= 1)
                 return SlotState(
                     cache=new_cache,
-                    pad_lens=state.pad_lens.at[slot_ids].set(pads),
-                    offsets=state.offsets.at[slot_ids].set(T),
-                    last_token=state.last_token.at[slot_ids].set(first),
-                    done=state.done.at[slot_ids].set(done0),
-                    tokens=state.tokens.at[slot_ids].set(row_tokens),
-                    n_emitted=state.n_emitted.at[slot_ids].set(1),
-                    budgets=state.budgets.at[slot_ids].set(budgets),
+                    pad_lens=state.pad_lens.at[slot_ids].set(pads, mode="drop"),
+                    offsets=state.offsets.at[slot_ids].set(T, mode="drop"),
+                    last_token=state.last_token.at[slot_ids].set(first, mode="drop"),
+                    done=state.done.at[slot_ids].set(done0, mode="drop"),
+                    tokens=state.tokens.at[slot_ids].set(row_tokens, mode="drop"),
+                    n_emitted=state.n_emitted.at[slot_ids].set(1, mode="drop"),
+                    budgets=state.budgets.at[slot_ids].set(budgets, mode="drop"),
                     seen=_seed_seen(state.seen, slot_ids, first),
                 )
 
@@ -359,20 +393,22 @@ class SlotDecoder:
                 # table row carries the FULL reservation (prompt + budget
                 # pages) so decode appends always land on owned pages
                 new_cache = new_cache._replace(
-                    lengths=new_cache.lengths.at[slot_ids].set(T),
-                    page_table=new_cache.page_table.at[slot_ids].set(full_rows),
+                    lengths=new_cache.lengths.at[slot_ids].set(T, mode="drop"),
+                    page_table=new_cache.page_table.at[slot_ids].set(
+                        full_rows, mode="drop"
+                    ),
                 )
                 row_tokens = jnp.full((n, max_new), eos, jnp.int32).at[:, 0].set(first)
                 done0 = (first == eos) | (budgets <= 1)
                 return SlotState(
                     cache=new_cache,
-                    pad_lens=state.pad_lens.at[slot_ids].set(pads),
-                    offsets=state.offsets.at[slot_ids].set(T),
-                    last_token=state.last_token.at[slot_ids].set(first),
-                    done=state.done.at[slot_ids].set(done0),
-                    tokens=state.tokens.at[slot_ids].set(row_tokens),
-                    n_emitted=state.n_emitted.at[slot_ids].set(1),
-                    budgets=state.budgets.at[slot_ids].set(budgets),
+                    pad_lens=state.pad_lens.at[slot_ids].set(pads, mode="drop"),
+                    offsets=state.offsets.at[slot_ids].set(T, mode="drop"),
+                    last_token=state.last_token.at[slot_ids].set(first, mode="drop"),
+                    done=state.done.at[slot_ids].set(done0, mode="drop"),
+                    tokens=state.tokens.at[slot_ids].set(row_tokens, mode="drop"),
+                    n_emitted=state.n_emitted.at[slot_ids].set(1, mode="drop"),
+                    budgets=state.budgets.at[slot_ids].set(budgets, mode="drop"),
                     seen=_seed_seen(state.seen, slot_ids, first),
                 )
 

@@ -197,7 +197,7 @@ class ContinuousBatchingEngine:
             raise RuntimeError(req.error)
         return req.result  # type: ignore[return-value]
 
-    def warmup(self, audio_seconds: float = 10.0, timeout: float = 600.0) -> None:
+    def warmup(self, audio_seconds=(10.0,), timeout: float = 600.0) -> None:
         """Pre-compile every admission batch shape (standard TPU-serving
         practice — JetStream-style warmup). Admission waves admit whatever
         fits the free slots, so under real load EVERY power-of-two prompt/
@@ -206,25 +206,32 @@ class ContinuousBatchingEngine:
         on a tunneled backend). Dummy requests run through the REAL queue so
         there is no racing with the scheduler thread."""
         sr = self.engine.config.audio.sampling_rate
-        wav = np.zeros(int(audio_seconds * sr), np.float32)
+        if isinstance(audio_seconds, (int, float)):
+            audio_seconds = (float(audio_seconds),)
         n = 1
         sizes = []
         while n <= self.max_admit:
             sizes.append(n)
             n *= 2
-        for size in sizes:
-            reqs = [
-                _Request(kind="audio", payload=wav, text_prompt="", max_new_tokens=2)
-                for _ in range(size)
-            ]
-            threads = [
-                threading.Thread(target=lambda r=r: self.submit(r, timeout=timeout))
-                for r in reqs
-            ]
-            for t in threads:
-                t.start()
-            for t in threads:
-                t.join()
+        # admission waves pad to power-of-two batches (infer/slots.py), so
+        # these sizes × the given audio buckets are ALL the shapes live
+        # traffic can produce — pass every prompt-length bucket your
+        # traffic profile hits
+        for sec in audio_seconds:
+            wav = np.zeros(int(sec * sr), np.float32)
+            for size in sizes:
+                reqs = [
+                    _Request(kind="audio", payload=wav, text_prompt="", max_new_tokens=2)
+                    for _ in range(size)
+                ]
+                threads = [
+                    threading.Thread(target=lambda r=r: self.submit(r, timeout=timeout))
+                    for r in reqs
+                ]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
 
     def shutdown(self):
         self._stop.set()
@@ -257,6 +264,24 @@ class ContinuousBatchingEngine:
                     pending.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
+            # reject over-budget requests explicitly — the decoder's token
+            # buffer is sized at construction, and silently clamping (the
+            # old behavior) truncated responses with no indication
+            ok = []
+            for r in pending:
+                if r.max_new_tokens > self.decoder.max_new:
+                    r.error = (
+                        f"max_new_tokens {r.max_new_tokens} exceeds this "
+                        f"server's budget {self.decoder.max_new}"
+                    )
+                    if r.stream:
+                        r.partials.put(None)
+                    r.event.set()
+                else:
+                    ok.append(r)
+            pending = ok
+            if not pending:
+                continue
             groups: Dict[Any, List[_Request]] = {}
             for r in pending:
                 groups.setdefault((r.kind, r.text_prompt), []).append(r)
@@ -400,12 +425,12 @@ class SummarizationServer:
                  max_batch: int = 32, max_wait_ms: float = 20.0,
                  continuous: bool = True, n_slots: int = 32,
                  chunk_steps: int = 16, max_new_tokens: int = 256,
-                 paged: bool = False):
+                 max_prompt_len: int = 512, paged: bool = False):
         if continuous:
             self.batcher = ContinuousBatchingEngine(
                 engine, n_slots=n_slots, chunk_steps=chunk_steps,
                 max_admit=max_batch, max_new_tokens=max_new_tokens,
-                paged=paged,
+                max_prompt_len=max_prompt_len, paged=paged,
             )
         else:
             self.batcher = BatchingEngine(engine, max_batch, max_wait_ms)
@@ -435,18 +460,34 @@ class SummarizationServer:
                     )
                     self.wfile.flush()
 
-                while True:
-                    piece = req.partials.get(timeout=600)
-                    if piece is None:
-                        break
-                    write({"delta": piece})
-                req.event.wait(timeout=10)
-                if req.error:
-                    write({"error": req.error})
-                else:
-                    write({"done": True, "response": req.result})
-                self.wfile.write(b"0\r\n\r\n")
-                self.wfile.flush()
+                # headers are out: from here on NO exception may escape to
+                # do_POST's generic handler — it would write a second HTTP
+                # status line into the open chunked body. Best effort: end
+                # the stream with an error object, else just drop the
+                # connection (the unterminated chunked body tells the
+                # client the stream died).
+                try:
+                    while True:
+                        piece = req.partials.get(timeout=600)
+                        if piece is None:
+                            break
+                        write({"delta": piece})
+                    req.event.wait(timeout=10)
+                    if req.error:
+                        write({"error": req.error})
+                    else:
+                        write({"done": True, "response": req.result})
+                    self.wfile.write(b"0\r\n\r\n")
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client went away mid-stream
+                except Exception as e:  # noqa: BLE001
+                    try:
+                        write({"error": f"{type(e).__name__}: {e}"})
+                        self.wfile.write(b"0\r\n\r\n")
+                        self.wfile.flush()
+                    except Exception:  # noqa: BLE001
+                        pass
 
             def _respond(self, code: int, obj: Dict[str, Any]):
                 data = json.dumps(obj).encode()

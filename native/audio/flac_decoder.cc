@@ -51,12 +51,15 @@ struct BitReader {
     return (v << k) | read_bits(k);
   }
 
-  int32_t read_signed(int k) {
+  int64_t read_signed(int k) {
+    // 64-bit throughout: eff bits reach 33 (32 bps + 1 for side channels),
+    // and `1u << 32` is UB — the old 32-bit version corrupted 32/33-bit
+    // samples while the Python mirror (arbitrary-precision) decoded them
+    // correctly.
     if (k == 0) return 0;
-    uint32_t v = read_bits(k);
-    // sign-extend k-bit two's complement
-    if (v >> (k - 1)) v |= ~((1u << k) - 1);
-    return static_cast<int32_t>(v);
+    uint64_t v = read_bits64(k);
+    if ((v >> (k - 1)) & 1) v |= ~((1ull << k) - 1);
+    return static_cast<int64_t>(v);
   }
 
   uint32_t read_unary() {

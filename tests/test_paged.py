@@ -269,3 +269,36 @@ def test_paged_kernel_int8_interpret():
     c = np.asarray(out_d, np.float32)
     rel2 = np.abs(b - c) / (np.abs(c) + 1.0)
     assert rel2.max() < 2e-2, rel2.max()
+
+
+def test_harvest_zeroes_device_table_rows():
+    """After harvest frees a finished row's pages, its DEVICE page-table row
+    must be zeroed: done slots keep writing their last K/V every chunk, and
+    a stale entry would corrupt pages re-allocated to live requests
+    (writes sink to the null page 0 instead)."""
+    import jax
+
+    from llm_speech_summarization_tpu.infer.slots import SlotDecoder
+    from llm_speech_summarization_tpu.models.llama import (
+        init_llama_params,
+        llama_preset,
+    )
+
+    cfg = llama_preset("tiny")
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    dec = SlotDecoder(params, cfg, eos_id=0, n_slots=4, max_prompt_len=128,
+                      max_new_tokens=16, cache_dtype=jnp.float32,
+                      paged=True, page_size=64)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, cfg.vocab_size, (2, 64))
+    embeds = params["embed_tokens"][jnp.asarray(ids)]
+    dec.admit(embeds, jnp.ones((2, 64), bool), [0, 1], [4, 16])
+    dec.decode_chunk(8)  # row 0 hits its budget
+    got = dec.harvest()
+    harvested = [s for s, _, _ in got]
+    assert 0 in harvested
+    table = np.asarray(dec.state.cache.page_table)
+    for s in harvested:
+        assert (table[s] == 0).all(), table[s]
+    # live row keeps its reservation
+    assert (table[1] != 0).any()

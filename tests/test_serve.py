@@ -143,3 +143,33 @@ def test_streaming_response():
         assert len(lines) >= 2  # at least one delta before the final
     finally:
         server.shutdown()
+
+
+def test_over_budget_request_rejected_clearly():
+    """A request whose max_new_tokens exceeds the server's decode budget
+    gets an explicit error (the scheduler used to clamp silently and
+    truncate the response)."""
+    import http.client
+    import json as json_
+
+    from llm_speech_summarization_tpu.configs import load_config
+    from llm_speech_summarization_tpu.infer.engine import LLMSpeechTextInference
+    from llm_speech_summarization_tpu.serve.server import SummarizationServer
+
+    cfg = load_config(TINY_YAML)
+    eng = LLMSpeechTextInference(cfg)
+    server = SummarizationServer(eng, host="127.0.0.1", port=0, continuous=True,
+                                 max_new_tokens=32)
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
+        body = json_.dumps({"text": "hi", "max_new_tokens": 999})
+        conn.request("POST", "/v1/text_response", body,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        out = json_.loads(resp.read())
+        conn.close()
+        assert resp.status == 400
+        assert "exceeds" in out["error"] and "budget" in out["error"], out
+    finally:
+        server.shutdown()
