@@ -63,6 +63,11 @@ class ModelConfig:
     llm_weight_dtype: Optional[str] = None
     llm_checkpoint: Optional[str] = None  # Orbax dir from cli/convert.py llm
     encoder_checkpoint: Optional[str] = None  # Orbax dir (convert.py encoder or export)
+    # Explicit local tokenizer directory (HF format). When set, loading it
+    # FAILS LOUDLY on error — a typo'd path must not silently degrade a
+    # weights-available run to byte tokens. None → resolve llm_type from the
+    # local HF cache, falling back to ByteTokenizer offline.
+    tokenizer_path: Optional[str] = None
 
 
 @dataclass

@@ -139,9 +139,16 @@ def write_token(
     safe sink no valid table entry references."""
     ps = cache.page_size
     pos = cache.lengths if positions is None else positions
-    page_idx = jnp.minimum(pos // ps, cache.page_table.shape[1] - 1)
+    page_idx = pos // ps
+    mp = cache.page_table.shape[1]
     slot = pos % ps
-    pid = jnp.take_along_axis(cache.page_table, page_idx[:, None], axis=1)[:, 0]
+    pid = jnp.take_along_axis(
+        cache.page_table, jnp.minimum(page_idx, mp - 1)[:, None], axis=1
+    )[:, 0]
+    # positions past the page table sink to the null page instead of
+    # silently overwriting the row's LAST page (in-tree callers can't reach
+    # this — budgets bound offsets — but the clamp hid corruption)
+    pid = jnp.where(page_idx < mp, pid, 0)
     if active is not None:
         pid = jnp.where(active, pid, 0)
     kt = k_new.transpose(0, 2, 1, 3)  # (L, Hkv, B, Dh)

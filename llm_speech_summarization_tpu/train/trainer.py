@@ -64,7 +64,9 @@ class Trainer:
         self.writer = MetricsWriter(self.log_dir, jsonl=config.log.jsonl_metrics)
 
         # tokenizer + template token ids
-        self.tokenizer = load_tokenizer(config.model.llm_type)
+        self.tokenizer = load_tokenizer(
+            config.model.llm_type, config.model.tokenizer_path
+        )
         tpl = prompt_template_for(config.model.llm_type)
         self.prefix_ids = jnp.asarray(self.tokenizer.encode(tpl.prefix, add_bos=True), jnp.int32)
         self.suffix_ids = jnp.asarray(self.tokenizer.encode(tpl.suffix, add_bos=False), jnp.int32)
@@ -282,9 +284,15 @@ class Trainer:
                 print(f"Epoch {epoch}")
                 t0 = time.time()
                 for batch in self._batches(self.train_ds, tcfg.batch_size, True, cfg.seed_everything + epoch):
-                    if self.mesh is not None and batch.wav.shape[0] % dict(self.mesh.shape).get("data", 1) == 0:
-                        from ..parallel.sharding import shard_batch
+                    if self.mesh is not None:
+                        from ..parallel.sharding import pad_batch_rows, shard_batch
 
+                        # tail batches pad (with zero-loss rows) so EVERY
+                        # batch takes the same sharded placement — round 2
+                        # silently ran non-divisible tails replicated
+                        n_data = dict(self.mesh.shape).get("data", 1)
+                        if batch.wav.shape[0] % n_data != 0:
+                            batch = pad_batch_rows(batch, n_data)
                         batch = shard_batch(self.mesh, batch)
                     step_fn = self._get_train_step(batch.wav.shape[1])
                     self.state, metrics = step_fn(self.state, self.llm_params, batch)

@@ -8,11 +8,53 @@ programs cost 20-40 s each per process. The JAX persistent cache keys on
 
 Opt out / relocate with ``LSS_COMPILE_CACHE`` (``0``/``off`` disables, any
 other value is the cache directory; default ``~/.cache/lss_jax_cache``).
+
+The cache directory is partitioned per host-CPU fingerprint
+(``host_cpu_fingerprint``): XLA:CPU serialized executables are AOT-compiled
+for the build host's exact feature set and can SIGILL on another machine
+(observed as round-2 "machine type doesn't match" loader errors when one
+cache crossed hosts). Note: XLA:CPU still logs a benign two-line
+"+prefer-no-scatter/+prefer-no-gather not supported" warning on every
+SAME-host warm load — those are XLA-internal scheduling pseudo-features
+appended to the compile-feature list that the host-feature probe never
+reports, so the warning fires even when compile and execution host are
+identical (verified by compiling into a fresh cache and reloading on the
+same machine). Real cross-host mismatches are now impossible by
+construction; the residual warning is upstream log noise.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+
+
+def host_cpu_fingerprint() -> str:
+    """Short stable fingerprint of this host's CPU feature set.
+
+    JAX's persistent-cache key covers (HLO, compiler version, device kind)
+    but NOT the host CPU's microarchitectural features — XLA:CPU AOT
+    artifacts compiled on one machine can SIGILL on another (observed as
+    "Machine type used for XLA:CPU compilation doesn't match" loader
+    errors when the round-2 cache crossed hosts). Partitioning the cache
+    directory by machine arch + cpuinfo flags makes cross-host reuse
+    impossible by construction; TPU program caches key the same way, which
+    only costs a recompile when the HOST changes (rare, and correct).
+    """
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line.split(":", 1)[1]
+                    break
+    except OSError:
+        flags = platform.processor()
+    digest = hashlib.sha256(
+        f"{platform.machine()}|{flags}".encode()
+    ).hexdigest()[:12]
+    return f"{platform.machine()}-{digest}"
 
 
 def enable_compilation_cache() -> bool:
@@ -24,9 +66,11 @@ def enable_compilation_cache() -> bool:
     env = os.environ.get("LSS_COMPILE_CACHE", "")
     if env.lower() in ("0", "off", "false", "none"):
         return False
-    cache_dir = env or os.path.join(
+    base_dir = env or os.path.join(
         os.path.expanduser("~"), ".cache", "lss_jax_cache"
     )
+    # per-host-CPU partition (see host_cpu_fingerprint)
+    cache_dir = os.path.join(base_dir, host_cpu_fingerprint())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         import jax

@@ -112,12 +112,22 @@ class HFTokenizer:
 def load_tokenizer(llm_type: str, local_path: Optional[str] = None) -> Tokenizer:
     """Load the tokenizer for an LLM type; fall back to bytes when offline.
 
-    ``local_path`` (or a resolvable local HF cache entry) yields an
-    ``HFTokenizer``; otherwise a ``ByteTokenizer`` is returned so every code
-    path stays runnable without network access.
+    ``local_path`` is an EXPLICIT operator choice: if it cannot be loaded,
+    raise — silently training/serving on byte tokens because a production
+    config typo'd a path is unrecoverable data corruption. Only the default
+    resolution path (``llm_type`` via the local HF cache) falls back to
+    ``ByteTokenizer``, which keeps every code path runnable offline.
     """
-    target = local_path or llm_type
+    if local_path:
+        try:
+            return HFTokenizer(local_path)
+        except Exception as e:
+            raise ValueError(
+                f"tokenizer_path {local_path!r} was explicitly configured but "
+                f"failed to load ({type(e).__name__}: {e}); refusing to fall "
+                f"back to byte tokens"
+            ) from e
     try:
-        return HFTokenizer(target)
+        return HFTokenizer(llm_type)
     except Exception:
         return ByteTokenizer()
