@@ -23,10 +23,24 @@ def main(argv=None):
                         help="skip the admission-shape compile warmup "
                         "(first requests of each batch shape then stall)")
     parser.add_argument("--repetition_penalty", type=float, default=1.0)
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree: shard the frozen LLM "
+                        "over a 'model' mesh axis of this size (e.g. --tp 8 "
+                        "on a v5e-8). 1 = single-device serving.")
     args = parser.parse_args(argv)
 
     from ..configs import load_config
     from ..serve.server import serve
+
+    mesh = None
+    if args.tp > 1:
+        from ..parallel.mesh import distributed_init, mesh_from_devices
+
+        distributed_init()  # no-op single-process; joins a pod if configured
+        # data=-1: leftover devices form a (replicated) data axis; the
+        # intended deploy shape is tp == visible devices (docs/DESIGN.md
+        # "Serving on a mesh" — per-chip replicas beat tp<n here)
+        mesh = mesh_from_devices(data=-1, model=args.tp)
 
     serve(
         load_config(args.config),
@@ -35,6 +49,7 @@ def main(argv=None):
         warmup=not args.no_warmup,
         audio_encoder_checkpoint=args.audio_encoder_checkpoint,
         repetition_penalty=args.repetition_penalty,
+        mesh=mesh,
     )
 
 

@@ -74,8 +74,15 @@ class LLMSpeechTextInference:
         repetition_penalty: float = 1.0,
         bucket: int = 64,
         decode_bucket: int = 64,
+        mesh=None,
     ):
         self.config = config
+        # TP serving (VERDICT r2 #1): when a mesh with a "model" axis is
+        # given, the frozen LLM decodes tensor-parallel — params shard per
+        # llama_param_spec below, encoder/host uploads replicate onto the
+        # mesh, and SlotDecoder/greedy_generate run sharded via GSPMD
+        # propagation. mesh=None is the single-chip path, unchanged.
+        self.mesh = mesh
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
@@ -132,9 +139,30 @@ class LLMSpeechTextInference:
                 audio_encoder_checkpoint, self.audio_encoder_params
             )
 
+        if mesh is not None:
+            from ..parallel.sharding import (
+                encoder_param_spec,
+                llama_param_spec,
+                shard_params,
+            )
+
+            # shard AFTER fuse/quantize so the spec sees the final layout
+            self.llm_params = shard_params(
+                mesh, self.llm_params, llama_param_spec(self.llm_params)
+            )
+            # encoder stays replicated (tiny next to the LLM) but must be
+            # committed to the SAME device set as the sharded llm_params
+            self.audio_encoder_params = shard_params(
+                mesh,
+                self.audio_encoder_params,
+                encoder_param_spec(self.audio_encoder_params),
+            )
+
         # Tokenizer + template (reference: inference.py:30-44)
         self.llm_type = config.model.llm_type
-        self.tokenizer = tokenizer or load_tokenizer(self.llm_type)
+        self.tokenizer = tokenizer or load_tokenizer(
+            self.llm_type, config.model.tokenizer_path
+        )
         tpl = prompt_template_for(self.llm_type)
         self.template = tpl
         self.prefix_ids = jnp.asarray(
@@ -174,6 +202,16 @@ class LLMSpeechTextInference:
     # ------------------------------------------------------------------
     # internals
     # ------------------------------------------------------------------
+
+    def _dev_put(self, x):
+        """Host→device transfer; on a mesh, commit replicated onto the mesh
+        device set (a bare device_put would commit to device 0 only, and
+        mixing committed placements inside one jitted call is an error)."""
+        if self.mesh is None:
+            return jax.device_put(x)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(x, NamedSharding(self.mesh, PartitionSpec()))
 
     def _generate_from_embeds(
         self, embeds: jnp.ndarray, attn_mask: jnp.ndarray, max_new_tokens: int, rng=None
@@ -374,7 +412,12 @@ class LLMSpeechTextInference:
 
         n = self._upload_chunks
         B = wav.shape[0]
-        rows = B // n  # B is a power of two ≥ 2n
+        # floor-division split: callers guarantee power-of-two B ≥ 2n via
+        # _pad_batch; fail loudly if a future change breaks that invariant
+        # (silent truncation would drop trailing rows)
+        if B % n != 0:
+            raise ValueError(f"pipelined upload needs B % {n} == 0, got B={B}")
+        rows = B // n
         wav16 = wav.astype(np.float16)
 
         if not hasattr(self, "_encode_chunk_jit"):
@@ -389,8 +432,8 @@ class LLMSpeechTextInference:
         params = self.audio_encoder_params
 
         def job(i):
-            w = jax.device_put(wav16[i * rows : (i + 1) * rows])
-            l = jax.device_put(lens[i * rows : (i + 1) * rows])
+            w = self._dev_put(wav16[i * rows : (i + 1) * rows])
+            l = self._dev_put(lens[i * rows : (i + 1) * rows])
             return enc(params, w, l)  # async dispatch
 
         with ThreadPoolExecutor(n) as ex:
@@ -461,7 +504,7 @@ class LLMSpeechTextInference:
         with ThreadPoolExecutor(n_chunks) as ex:
             parts = list(
                 ex.map(
-                    lambda i: jax.device_put(wav16[i * rows : (i + 1) * rows]),
+                    lambda i: self._dev_put(wav16[i * rows : (i + 1) * rows]),
                     range(n_chunks),
                 )
             )

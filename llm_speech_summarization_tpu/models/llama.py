@@ -426,7 +426,14 @@ def llama_forward(
         table = params["embed_tokens"]
         if table.dtype == jnp.int8:  # weight-only quantized (per-vocab-row)
             scale = params["embed_tokens_scale"][input_ids]
-            inputs_embeds = table[input_ids].astype(scale.dtype) * scale[..., None]
+            # dequantize to the model's ACTIVATION dtype (norm weights keep
+            # it — quantization never touches them), not the bf16 scale
+            # dtype: an f32 model fed bf16 embeds breaks the layer-scan
+            # carry invariant once a norm promotes back to f32
+            act_dtype = params["final_norm"].dtype
+            inputs_embeds = (
+                table[input_ids].astype(act_dtype) * scale[..., None].astype(act_dtype)
+            )
         else:
             inputs_embeds = table[input_ids]
     x = inputs_embeds

@@ -176,6 +176,9 @@ class ContinuousBatchingEngine:
             cache_dtype=engine.cache_dtype,
             repetition_penalty=getattr(engine, "repetition_penalty", 1.0),
             paged=paged,
+            mesh=getattr(engine, "mesh", None),  # TP serving rides the
+            # engine's mesh: params are already sharded, the decoder shards
+            # its cache state to match (parallel/sharding.py)
         )
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._prepared: "queue.Queue" = queue.Queue()
@@ -269,10 +272,13 @@ class ContinuousBatchingEngine:
             # old behavior) truncated responses with no indication
             ok = []
             for r in pending:
-                if r.max_new_tokens > self.decoder.max_new:
+                if r.max_new_tokens < 1 or r.max_new_tokens > self.decoder.max_new:
+                    # <1 would admit a budget-0 slot that is done but never
+                    # harvested (harvest requires budgets>0) — a permanent
+                    # slot leak; >budget would silently truncate
                     r.error = (
-                        f"max_new_tokens {r.max_new_tokens} exceeds this "
-                        f"server's budget {self.decoder.max_new}"
+                        f"max_new_tokens {r.max_new_tokens} outside this "
+                        f"server's budget [1, {self.decoder.max_new}]"
                     )
                     if r.stream:
                         r.partials.put(None)
@@ -399,6 +405,12 @@ class ContinuousBatchingEngine:
         for (s, r), row in zip(live_streams, rows):
             n = min(int(counts[s]), r.max_new_tokens)
             text = tok.decode(row[:n].tolist(), skip_special_tokens=True)
+            if text.endswith("�"):
+                # a chunk boundary split a multi-byte UTF-8 character: the
+                # replacement char would change (in count and content) once
+                # the character completes, desynchronizing the _sent char
+                # offset — hold the delta until the prefix decodes cleanly
+                continue
             if len(text) > r._sent:
                 r.partials.put(text[r._sent:])
                 r._sent = len(text)

@@ -162,14 +162,23 @@ def test_over_budget_request_rejected_clearly():
                                  max_new_tokens=32)
     server.start_background()
     try:
-        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
-        body = json_.dumps({"text": "hi", "max_new_tokens": 999})
-        conn.request("POST", "/v1/text_response", body,
-                     {"Content-Type": "application/json"})
-        resp = conn.getresponse()
-        out = json_.loads(resp.read())
-        conn.close()
-        assert resp.status == 400
-        assert "exceeds" in out["error"] and "budget" in out["error"], out
+        def post(max_new):
+            conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
+            body = json_.dumps({"text": "hi", "max_new_tokens": max_new})
+            conn.request("POST", "/v1/text_response", body,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            out = json_.loads(resp.read())
+            conn.close()
+            return resp.status, out
+
+        status, out = post(999)
+        assert status == 400
+        assert "outside" in out["error"] and "budget" in out["error"], out
+        # max_new_tokens < 1 must also be rejected: a budget-0 slot is done
+        # but never harvested (harvest requires budgets>0) — a permanent
+        # slot leak (ADVICE r2)
+        status, out = post(0)
+        assert status == 400 and "budget" in out["error"], out
     finally:
         server.shutdown()
