@@ -141,6 +141,11 @@ class TrainConfig:
     # sequence over the mesh "seq" axis and run the LLM forward through ring
     # attention (ops/ring_attention.py). Requires mesh.seq > 1.
     use_ring_attention: bool = False
+    # Also shard the ENCODER frames over "seq": conv stem with halo
+    # exchange + bidirectional ring attention (models/hubert.py SP path).
+    # Requires use_ring_attention, a hubert-large-style encoder, and audio
+    # buckets divisible by 320*seq.
+    encoder_sp: bool = False
 
 
 @dataclass

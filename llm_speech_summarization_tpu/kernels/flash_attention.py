@@ -35,6 +35,9 @@ NEG_INF = -1e30
 
 def _flash_kernel(
     scal_ref,  # scalar-prefetch (2B,) int32: [start_0..start_{B-1}, end_0..]
+    # (+2 trailing [q_off, k_off] global-position offsets in offset_mode —
+    # the ring-attention interior, where the visiting K/V block lives at a
+    # different global offset than the local queries)
     q_ref,  # (1, BQ, Dh)
     k_ref,  # (1, S, Dh) full key stream for this (b, kv-head)
     v_ref,  # (1, S, Dh)
@@ -45,12 +48,15 @@ def _flash_kernel(
     seq_len: int,
     scale: float,
     causal: bool,
+    offset_mode: bool = False,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(2)
     B = pl.num_programs(0)
     start = scal_ref[b]
     end = scal_ref[B + b]
+    q_off = scal_ref[2 * B] if offset_mode else 0
+    k_off = scal_ref[2 * B + 1] if offset_mode else 0
 
     q = q_ref[0]  # (BQ, Dh), native dtype — MXU runs bf16 with f32 accum
     q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
@@ -60,7 +66,9 @@ def _flash_kernel(
     acc0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
 
     # causal frontier: last k block any query in this q block can see
-    if causal:
+    # (offset_mode: the frontier is offset-dependent — loop every block and
+    # let the mask decide; ring blocks are one device's Tl, small)
+    if causal and not offset_mode:
         num_k_blocks = jax.lax.div(qi * block_q + block_q - 1, block_k) + 1
     else:
         num_k_blocks = pl.cdiv(seq_len, block_k)
@@ -74,7 +82,7 @@ def _flash_kernel(
         k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         mask = (k_pos >= start) & (k_pos < end)
         if causal:
-            mask = mask & (k_pos <= q_pos)
+            mask = mask & (k_pos + k_off <= q_pos + q_off)
         s = jnp.where(mask, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -190,12 +198,15 @@ def _bwd_dq_kernel(
     seq_len: int,
     scale: float,
     causal: bool,
+    offset_mode: bool = False,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(2)
     B = pl.num_programs(0)
     start = scal_ref[b]
     end = scal_ref[B + b]
+    q_off = scal_ref[2 * B] if offset_mode else 0
+    k_off = scal_ref[2 * B + 1] if offset_mode else 0
 
     q = q_ref[0]
     do = do_ref[0]
@@ -203,7 +214,7 @@ def _bwd_dq_kernel(
     delta = delta_ref[0, 0, :][:, None]
     q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
 
-    if causal:
+    if causal and not offset_mode:
         num_k_blocks = jax.lax.div(qi * block_q + block_q - 1, block_k) + 1
     else:
         num_k_blocks = pl.cdiv(seq_len, block_k)
@@ -215,7 +226,7 @@ def _bwd_dq_kernel(
         k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         mask = (k_pos >= start) & (k_pos < end)
         if causal:
-            mask = mask & (k_pos <= q_pos)
+            mask = mask & (k_pos + k_off <= q_pos + q_off)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # (BQ, BK)
         dp = jnp.dot(do, vb.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
@@ -243,12 +254,15 @@ def _bwd_dkv_kernel(
     seq_len: int,
     scale: float,
     causal: bool,
+    offset_mode: bool = False,
 ):
     b = pl.program_id(0)
     ki = pl.program_id(2)
     B = pl.num_programs(0)
     start = scal_ref[b]
     end = scal_ref[B + b]
+    q_off = scal_ref[2 * B] if offset_mode else 0
+    k_off = scal_ref[2 * B + 1] if offset_mode else 0
 
     kb = k_ref[0]
     vb = v_ref[0]
@@ -256,7 +270,7 @@ def _bwd_dkv_kernel(
     kmask = (k_pos >= start) & (k_pos < end)  # (1, BK)
 
     num_q_blocks = pl.cdiv(seq_len, block_q)
-    if causal:
+    if causal and not offset_mode:
         first_q_block = jax.lax.div(ki * block_k, block_q)
     else:
         first_q_block = 0
@@ -273,7 +287,7 @@ def _bwd_dkv_kernel(
             q_pos = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, 1), 0
             )
-            mask = mask & (k_pos <= q_pos)
+            mask = mask & (k_pos + k_off <= q_pos + q_off)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dv_acc = dv_acc + jnp.dot(
             p.T.astype(dob.dtype), dob, preferred_element_type=jnp.float32
@@ -294,7 +308,8 @@ def _bwd_dkv_kernel(
 @functools.partial(
     jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
 )
-def _flash_bwd_impl(q, k, v, out, lse, g, starts, ends, causal, block_q, block_k, interpret):
+def _flash_bwd_impl(q, k, v, out, lse, g, starts, ends, causal, block_q, block_k,
+                    interpret, offsets=None):
     B, T, Hq, Dh = q.shape
     Hkv = k.shape[2]
     group = Hq // Hkv
@@ -309,9 +324,13 @@ def _flash_bwd_impl(q, k, v, out, lse, g, starts, ends, causal, block_q, block_k
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
     ).transpose(0, 2, 1).reshape(B * Hq, 1, T)
 
-    scalars = jnp.concatenate([starts.astype(jnp.int32), ends.astype(jnp.int32)])
+    parts = [starts.astype(jnp.int32), ends.astype(jnp.int32)]
+    if offsets is not None:  # ring interior: [q_off, k_off] global offsets
+        parts.append(jnp.stack([jnp.int32(offsets[0]), jnp.int32(offsets[1])]))
+    scalars = jnp.concatenate(parts)
     kwargs = dict(
-        block_q=block_q, block_k=block_k, seq_len=T, scale=scale, causal=causal
+        block_q=block_q, block_k=block_k, seq_len=T, scale=scale, causal=causal,
+        offset_mode=offsets is not None,
     )
 
     dq = pl.pallas_call(
@@ -381,6 +400,7 @@ def _flash_impl(
     block_k: int,
     interpret: bool,
     return_lse: bool = False,
+    offsets=None,
 ):
     B, T, Hq, Dh = q.shape
     Hkv = k.shape[2]
@@ -400,9 +420,13 @@ def _flash_impl(
         seq_len=T,
         scale=scale,
         causal=causal,
+        offset_mode=offsets is not None,
     )
 
-    scalars = jnp.concatenate([starts.astype(jnp.int32), ends.astype(jnp.int32)])
+    parts = [starts.astype(jnp.int32), ends.astype(jnp.int32)]
+    if offsets is not None:  # ring interior: [q_off, k_off] global offsets
+        parts.append(jnp.stack([jnp.int32(offsets[0]), jnp.int32(offsets[1])]))
+    scalars = jnp.concatenate(parts)
 
     out_specs = pl.BlockSpec((1, block_q, Dh), lambda b, h, i, scal: (b * Hq + h, i, 0))
     out_shape = jax.ShapeDtypeStruct((B * Hq, T, Dh), q.dtype)

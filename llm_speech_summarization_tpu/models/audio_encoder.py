@@ -106,6 +106,8 @@ def audio_encoder_forward(
     wav_lens: Optional[jnp.ndarray] = None,
     ctc_pool_ranges: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    sp_mesh=None,
+    sp_axis: str = "seq",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """waveform (B, N) [+ per-sample lengths] → (embeds (B, M, E), emb_lens (B,)).
 
@@ -113,6 +115,10 @@ def audio_encoder_forward(
     length calculus so downstream splicing crops exactly like
     trainer.py:280-294. For "ctc_pool", `ctc_pool_ranges` (B, G, 2) selects
     frame ranges and emb_lens is the number of valid ranges.
+
+    ``sp_mesh``/``sp_axis``: long-audio sequence parallelism — encoder
+    frames shard over the mesh axis (models/hubert.py SP path); pooling and
+    projection run on the (small) gathered frames.
     """
     B, N = wav.shape
     if wav_lens is None:
@@ -129,8 +135,15 @@ def audio_encoder_forward(
     )
 
     if setup.base == "hubert":
-        frames, _ = hubert_forward(params["encoder"], setup.encoder_cfg, wav, wav_mask, remat=remat)
+        frames, _ = hubert_forward(
+            params["encoder"], setup.encoder_cfg, wav, wav_mask, remat=remat,
+            sp_mesh=sp_mesh, sp_axis=sp_axis,
+        )
     else:
+        assert sp_mesh is None or sp_mesh.shape[sp_axis] == 1, (
+            "encoder sequence parallelism covers the HuBERT path (the "
+            "whisper variant is 30 s-bounded by its mel featurization)"
+        )
         w_cfg: WhisperConfig = setup.encoder_cfg
         # reference pads/truncates to 30 s via WhisperFeatureExtractor
         # (trainer.py:178-182); mirror that with a fixed mel frame budget.

@@ -98,6 +98,17 @@ def hubert_frame_count(cfg: HubertConfig, num_samples: jnp.ndarray) -> jnp.ndarr
     return n
 
 
+def conv_receptive_field(cfg: HubertConfig) -> Tuple[int, int]:
+    """(receptive_field, total_stride) of the conv stem — the halo a
+    sequence-parallel shard must borrow from its right neighbor is
+    R - S samples (long-audio path, docs/DESIGN.md "Long audio" step 1)."""
+    R, S = 1, 1
+    for k, s in zip(cfg.conv_kernels, cfg.conv_strides):
+        R += (k - 1) * S
+        S *= s
+    return R, S
+
+
 def init_hubert_params(rng: jax.Array, cfg: HubertConfig, dtype=jnp.bfloat16) -> Params:
     D, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
     n_keys = 4 + len(cfg.conv_dims) + 8
@@ -207,14 +218,165 @@ def _pos_conv(params: Params, cfg: HubertConfig, x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(h, approximate=False).transpose(0, 2, 1)
 
 
+def _feature_extractor_sp(params, cfg, wav, mesh, axis):
+    """Frame-sharded conv stem: each device convolves its local waveform
+    shard plus a receptive-field halo borrowed from its right neighbor via
+    ``ppermute`` (the last device pads zeros — beyond-audio frames are
+    masked downstream exactly like the unsharded pad frames). Valid convs
+    are translation-invariant, so local frames == the global frames whose
+    windows start inside the local sample range."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    R, S = conv_receptive_field(cfg)
+    halo = R - S
+    n = mesh.shape[axis]
+    B, N = wav.shape
+    Nl = N // n
+    F = Nl // S
+    # local frames available from (Nl + halo) samples must cover F
+    assert int(hubert_frame_count(cfg, Nl + halo)) >= F, (Nl, halo, F)
+    conv_params = {"conv_layers": params["conv_layers"]}
+
+    def body(wav_local, cp):
+        first = wav_local[:, :halo]
+        # send my first `halo` samples to my LEFT neighbor (no wraparound:
+        # the last device receives zeros = the global right padding)
+        perm = [(i, i - 1) for i in range(1, n)]
+        recv = jax.lax.ppermute(first, axis, perm)
+        x = jnp.concatenate([wav_local, recv], axis=1)  # (B, Nl + halo)
+        feats = _feature_extractor(cp, cfg, x)
+        return feats[:, :F]
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, axis), P()),
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )(wav, conv_params)
+
+
+def _pos_conv_sp(params, cfg, h, mesh, axis):
+    """Frame-sharded positional conv: halo of k//2 frames from BOTH
+    neighbors (edge devices receive zeros = the global zero padding),
+    valid conv, crop the even-kernel extra frame — identical to the
+    unsharded ``_pos_conv`` output per frame."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    K = cfg.pos_conv_kernel
+    assert K % 2 == 0, "SP pos-conv assumes the (standard) even kernel"
+    pad = K // 2
+    n = mesh.shape[axis]
+    pos_p = {"w": params["pos_conv_w"], "b": params["pos_conv_b"]}
+
+    def body(h_local, pp):
+        F = h_local.shape[1]
+        assert F >= pad, f"local frames {F} < pos-conv halo {pad}"
+        left = jax.lax.ppermute(  # my tail → right neighbor's left halo
+            h_local[:, -pad:], axis, [(i, i + 1) for i in range(n - 1)]
+        )
+        right = jax.lax.ppermute(  # my head → left neighbor's right halo
+            h_local[:, :pad], axis, [(i, i - 1) for i in range(1, n)]
+        )
+        hx = jnp.concatenate([left, h_local, right], axis=1)  # (B, F+K, D)
+        out = _conv1d(
+            hx.transpose(0, 2, 1), pp["w"].astype(h_local.dtype),
+            stride=1, padding=0, groups=cfg.pos_conv_groups,
+        )
+        out = out + pp["b"][None, :, None]
+        out = out[:, :, :F]  # crop the even-kernel extra frame
+        return jax.nn.gelu(out, approximate=False).transpose(0, 2, 1)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, axis, None), P()),
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )(h, pos_p)
+
+
+def _hubert_forward_sp(params, cfg, wav, wav_mask, remat, mesh, axis):
+    """Sequence-parallel hubert_forward (VERDICT r2 #3 / DESIGN "Long
+    audio" step 1): waveform and frames shard over the mesh ``axis``; the
+    conv stem and positional conv exchange receptive-field halos via
+    ppermute, and self-attention runs as bidirectional ring attention
+    (ops/ring_attention.py — flash interior on TPU). Matches the unsharded
+    forward on valid frames (tests/test_ring_attention.py)."""
+    from ..ops.ring_attention import ring_attention
+
+    B, N = wav.shape
+    n = mesh.shape[axis]
+    R, S = conv_receptive_field(cfg)
+    assert N % (S * n) == 0, (
+        f"encoder SP needs audio buckets divisible by stride*seq = {S * n}, got {N}"
+    )
+    assert cfg.feat_extract_norm == "layer", (
+        "encoder SP supports the layer-norm conv stem (hubert-large); the "
+        "base variant's group norm takes global moments over time"
+    )
+    assert cfg.do_stable_layer_norm, "encoder SP assumes the pre-LN (large) blocks"
+
+    T = (N // (S * n)) * n  # n*F: one (masked) frame beyond the true count
+    T_real = int(hubert_frame_count(cfg, N))
+    feats = _feature_extractor_sp(params, cfg, wav, mesh, axis)  # (B, T, C)
+
+    if wav_mask is None:
+        n_valid = jnp.full((B,), T_real, jnp.int32)
+    else:
+        n_valid = hubert_frame_count(
+            cfg, jnp.sum(wav_mask.astype(jnp.int32), axis=1)
+        ).astype(jnp.int32)
+    frame_mask = jnp.arange(T, dtype=jnp.int32)[None, :] < n_valid[:, None]
+
+    h = layer_norm(feats, params["fp_ln_scale"], params["fp_ln_bias"], cfg.layer_norm_eps)
+    h = h @ params["fp_w"].astype(h.dtype) + params["fp_b"]
+    h = h * frame_mask[..., None].astype(h.dtype)
+    h = h + _pos_conv_sp(params, cfg, h, mesh, axis)
+
+    Hh = cfg.num_heads
+    Dh = cfg.hidden_size // Hh
+    starts = jnp.zeros((B,), jnp.int32)
+
+    def block(h, lp):
+        def attn_ffn(h):
+            a_in = layer_norm(h, lp["ln1_scale"], lp["ln1_bias"], cfg.layer_norm_eps)
+            q = (a_in @ lp["wq"] + lp["bq"]).reshape(B, T, Hh, Dh)
+            k = (a_in @ lp["wk"] + lp["bk"]).reshape(B, T, Hh, Dh)
+            v = (a_in @ lp["wv"] + lp["bv"]).reshape(B, T, Hh, Dh)
+            a = ring_attention(
+                q, k, v, starts, mesh, seq_axis=axis, causal=False, ends=n_valid
+            ).reshape(B, T, cfg.hidden_size)
+            h = h + (a @ lp["wo"] + lp["bo"])
+            f_in = layer_norm(h, lp["ln2_scale"], lp["ln2_bias"], cfg.layer_norm_eps)
+            f = jax.nn.gelu(f_in @ lp["w1"] + lp["b1"], approximate=False)
+            return h + (f @ lp["w2"] + lp["b2"])
+
+        fn = jax.checkpoint(attn_ffn) if remat else attn_ffn
+        return fn(h), None
+
+    h, _ = jax.lax.scan(block, h, params["layers"])
+    h = layer_norm(h, params["encoder_ln_scale"], params["encoder_ln_bias"], cfg.layer_norm_eps)
+    # slice to the unsharded frame count: the (masked) overhang frame on the
+    # last shard exists only to keep per-device shapes uniform
+    return h[:, :T_real], frame_mask[:, :T_real]
+
+
 def hubert_forward(
     params: Params,
     cfg: HubertConfig,
     wav: jnp.ndarray,
     wav_mask: jnp.ndarray | None = None,
     remat: bool = False,
+    sp_mesh=None,
+    sp_axis: str = "seq",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """waveform (B, N) [+ sample-validity mask] → (frames (B, T, D), frame_mask (B, T))."""
+    """waveform (B, N) [+ sample-validity mask] → (frames (B, T, D), frame_mask (B, T)).
+
+    ``sp_mesh``/``sp_axis``: shard frames over a mesh axis for long audio
+    (conv halo exchange + bidirectional ring attention)."""
+    if sp_mesh is not None and sp_mesh.shape[sp_axis] > 1:
+        return _hubert_forward_sp(params, cfg, wav, wav_mask, remat, sp_mesh, sp_axis)
     B, N = wav.shape
     feats = _feature_extractor(params, cfg, wav)  # (B, T, C)
     T = feats.shape[1]

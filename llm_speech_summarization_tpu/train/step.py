@@ -60,7 +60,12 @@ def _forward_losses(
     compute_dtype = jnp.dtype(cfg.model.compute_dtype)
     table = llm_params["embed_tokens"].astype(compute_dtype)
 
-    # --- student: audio path (reference: trainer.py:277-322)
+    # --- student: audio path (reference: trainer.py:277-322). With
+    # train.encoder_sp the encoder frames shard over the ring's "seq" axis
+    # too (long-audio path: conv halo exchange + bidirectional ring).
+    enc_sp = {"sp_mesh": ring_mesh, "sp_axis": ring_axis} if (
+        tcfg.encoder_sp and ring_mesh is not None
+    ) else {}
     audio_embeds, emb_lens = audio_encoder_forward(
         enc_params,
         enc_setup,
@@ -68,6 +73,7 @@ def _forward_losses(
         batch.wav_lens,
         ctc_pool_ranges=batch.ctc_pool_ranges,
         remat=remat,
+        **enc_sp,
     )
     student = splice_sequences(
         table, prefix_ids, suffix_ids, audio_embeds, emb_lens,

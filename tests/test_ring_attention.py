@@ -39,6 +39,211 @@ def test_ring_attention_matches_full(causal):
 
 
 @needs_8
+@pytest.mark.parametrize("causal", [True, False])
+def test_ring_pallas_interior_matches_xla(causal):
+    """The flash-kernel interior (interpret mode on CPU) == the XLA
+    interior == full attention, forward and GRADIENTS (custom ring VJP —
+    VERDICT r2 #4: no autodiff-through-scan)."""
+    B, T, Hq, Hkv, Dh = 2, 128, 4, 2, 64  # Tl=16, Dh=64: flash-tileable
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(B, T, Hq, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, T, Hkv, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, T, Hkv, Dh).astype(np.float32))
+    pads = np.array([0, 19], np.int32)
+    w = jnp.asarray(rng.randn(B, T, Hq, Dh).astype(np.float32))
+    valid = jnp.asarray(np.arange(T)[None, :] >= pads[:, None])
+    wm = w * valid[:, :, None, None]  # exclude garbage padded-q rows
+
+    mesh = mesh_from_devices(data=8, model=1)
+
+    def loss_ring(q, k, v, interior):
+        out = ring_attention(
+            q, k, v, jnp.asarray(pads), mesh, seq_axis="data", causal=causal,
+            interior=interior, interpret=(interior == "pallas"),
+        )
+        return jnp.sum(out * wm)
+
+    def loss_full(q, k, v):
+        bias = make_attention_bias(valid, valid, causal=causal)
+        return jnp.sum(dot_product_attention(q, k, v, bias) * wm)
+
+    for interior in ("pallas", "xla"):
+        val, grads = jax.value_and_grad(
+            lambda *a: loss_ring(*a, interior=interior), argnums=(0, 1, 2)
+        )(q, k, v)
+        ref_val, ref_grads = jax.value_and_grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(float(val), float(ref_val), rtol=2e-4,
+                                   err_msg=interior)
+        for g, rg, name in zip(grads, ref_grads, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(rg), rtol=2e-3, atol=2e-4,
+                err_msg=f"{interior} d{name}",
+            )
+
+
+def _iter_eqns_skip_pallas(jaxpr):
+    """All eqns recursively, skipping pallas_call interiors (their block
+    tiles live in VMEM, not HBM)."""
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "pallas_call":
+            continue
+        yield eqn
+        for val in eqn.params.values():
+            vals = val if isinstance(val, (list, tuple)) else [val]
+            for sub in vals:
+                inner = getattr(sub, "jaxpr", None)
+                if inner is not None and hasattr(inner, "eqns"):
+                    yield from _iter_eqns_skip_pallas(inner)
+                elif hasattr(sub, "eqns"):
+                    yield from _iter_eqns_skip_pallas(sub)
+
+
+@needs_8
+def test_ring_pallas_interior_never_materializes_TlxTl():
+    """Shape accounting for VERDICT r2 #4's done-criterion: with the flash
+    interior, NO intermediate outside the Pallas kernels carries a
+    (..., Tl, Tl) logits block — per-device attention memory is
+    O(Tl·block), not O(Tl²). The XLA interior (control) does carry one."""
+    B, T, Hq, Hkv, Dh = 2, 128, 4, 2, 64
+    mesh = mesh_from_devices(data=8, model=1)
+    Tl = T // 8
+    q = jnp.zeros((B, T, Hq, Dh), jnp.float32)
+    kv = jnp.zeros((B, T, Hkv, Dh), jnp.float32)
+    pads = jnp.zeros((B,), jnp.int32)
+
+    def has_TlxTl(interior):
+        def fwd(q, k, v):
+            out = ring_attention(
+                q, k, v, pads, mesh, seq_axis="data", causal=True,
+                interior=interior, interpret=(interior == "pallas"),
+            )
+            return jnp.sum(out)
+
+        jaxpr = jax.make_jaxpr(jax.grad(fwd, argnums=(0, 1, 2)))(q, kv, kv)
+        for eqn in _iter_eqns_skip_pallas(jaxpr.jaxpr):
+            for var in eqn.outvars:
+                shape = getattr(var.aval, "shape", ())
+                if len(shape) >= 2 and tuple(shape[-2:]) == (Tl, Tl):
+                    return True
+        return False
+
+    assert not has_TlxTl("pallas"), "flash interior materialized Tl×Tl logits"
+    assert has_TlxTl("xla"), "control: the XLA interior should show Tl×Tl"
+
+
+@needs_8
+def test_hubert_sp_matches_unsharded():
+    """Encoder sequence parallelism (VERDICT r2 #3): frame-sharded conv
+    stem (halo exchange) + pos-conv (two-sided halo) + bidirectional ring
+    attention == the unsharded encoder, on valid frames."""
+    from llm_speech_summarization_tpu.models.hubert import (
+        hubert_forward,
+        hubert_preset,
+        init_hubert_params,
+    )
+
+    cfg = hubert_preset("tiny")
+    params = init_hubert_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    B, N = 2, 40960  # divisible by stride(320) * seq(8)
+    rng = np.random.RandomState(3)
+    wav = jnp.asarray(0.1 * rng.randn(B, N).astype(np.float32))
+    wav_lens = np.array([N, 30000], np.int32)
+    wav_mask = jnp.asarray(np.arange(N)[None, :] < wav_lens[:, None])
+    wav = wav * wav_mask.astype(wav.dtype)
+
+    ref_frames, ref_mask = hubert_forward(params, cfg, wav, wav_mask)
+    mesh = mesh_from_devices(data=1, model=1, seq=8)
+    sp_frames, sp_mask = hubert_forward(
+        params, cfg, wav, wav_mask, sp_mesh=mesh, sp_axis="seq"
+    )
+    assert sp_frames.shape == ref_frames.shape
+    np.testing.assert_array_equal(np.asarray(sp_mask), np.asarray(ref_mask))
+    m = np.asarray(ref_mask)[:, :, None]
+    diff = np.abs(np.asarray(sp_frames) - np.asarray(ref_frames)) * m
+    assert diff.max() < 5e-4, diff.max()
+
+
+@needs_8
+def test_train_step_encoder_sp_matches_unsharded():
+    """The long-audio config's FULL story: encoder frames AND the spliced
+    LLM sequence sharded over 'seq'; the KD step matches unsharded."""
+    import os
+
+    from llm_speech_summarization_tpu.configs import load_config
+    from llm_speech_summarization_tpu.data import SyntheticSpeechDataset, collate_batch
+    from llm_speech_summarization_tpu.models.audio_encoder import (
+        audio_encoder_forward,
+        encoder_setup_from_config,
+        init_audio_encoder,
+    )
+    from llm_speech_summarization_tpu.models.llama import init_llama_params, llama_preset
+    from llm_speech_summarization_tpu.train import make_train_state, make_train_step
+    from llm_speech_summarization_tpu.utils.prompts import prompt_template_for
+    from llm_speech_summarization_tpu.utils.tokenizer import ByteTokenizer
+
+    yaml_path = os.path.join(
+        os.path.dirname(__file__), "..", "llm_speech_summarization_tpu",
+        "configs", "yaml", "tiny_test.yaml",
+    )
+    cfg = load_config(yaml_path)
+    cfg.train.use_ring_attention = True
+    cfg.train.encoder_sp = True
+    cfg.train.mesh.data = 1
+    cfg.train.mesh.seq = 8
+    cfg.train.buckets = cfg.train.buckets.__class__(
+        audio_samples=(40960,),  # divisible by 320*8
+        seq_lens=(256,),
+        max_response_tokens=32,
+        max_text_tokens=32,
+    )
+
+    tok = ByteTokenizer()
+    tpl = prompt_template_for(cfg.model.llm_type)
+    prefix = jnp.asarray(tok.encode(tpl.prefix, add_bos=True), jnp.int32)
+    suffix = jnp.asarray(tok.encode(tpl.suffix, add_bos=False), jnp.int32)
+    llm_cfg = llama_preset("tiny")
+    llm_params = init_llama_params(jax.random.PRNGKey(0), llm_cfg, dtype=jnp.float32)
+    enc_setup = encoder_setup_from_config(cfg)
+    enc_params = init_audio_encoder(jax.random.PRNGKey(1), enc_setup, dtype=jnp.float32)
+    ds = SyntheticSpeechDataset(tok, num_samples=4, max_seconds=2.0)
+    batch = collate_batch(
+        [ds[i] for i in range(2)],
+        audio_buckets=cfg.train.buckets.audio_samples,
+        max_text_tokens=cfg.train.buckets.max_text_tokens,
+        max_response_tokens=cfg.train.buckets.max_response_tokens,
+    )
+    out, _ = jax.eval_shape(
+        lambda p, w, l: audio_encoder_forward(p, enc_setup, w, l),
+        enc_params,
+        jax.ShapeDtypeStruct(batch.wav.shape, jnp.float32),
+        jax.ShapeDtypeStruct(batch.wav_lens.shape, jnp.int32),
+    )
+    P, S = prefix.shape[0], suffix.shape[0]
+    need = P + max(out.shape[1], cfg.train.buckets.max_text_tokens) + S + (
+        cfg.train.buckets.max_response_tokens
+    )
+    total_len = ((need + 127) // 128) * 128
+
+    mesh = mesh_from_devices(data=1, model=1, seq=8)
+    state, tx = make_train_state(cfg, enc_params, total_opt_steps=10)
+    cfg_plain = load_config(yaml_path)
+    cfg_plain.train.buckets = cfg.train.buckets
+    plain = make_train_step(
+        cfg_plain, enc_setup, llm_cfg, tx, prefix, suffix, total_len, donate=False
+    )
+    ring = make_train_step(
+        cfg, enc_setup, llm_cfg, tx, prefix, suffix, total_len, donate=False,
+        ring_mesh=mesh, ring_axis="seq",
+    )
+    _, m_plain = plain(state, llm_params, batch)
+    s_ring, m_ring = ring(state, llm_params, batch)
+    for key in ("ntp_loss", "ld_loss", "fd_loss", "total_loss", "grad_norm"):
+        a, b = float(m_plain[key]), float(m_ring[key])
+        assert abs(a - b) < 5e-3 * max(1.0, abs(a)), (key, a, b)
+    assert int(s_ring.step) == int(state.step) + 1
+
+
+@needs_8
 def test_ring_attention_sharded_inputs():
     """Works with actually device-sharded inputs (NamedSharding on T)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
