@@ -182,7 +182,7 @@ class SlotDecoder:
         (~100-200 ms here); free_slots/live_count/harvest each pulling their
         own arrays made the scheduler loop transfer-bound. Callers fetch
         once per loop and pass the copies down."""
-        stacked = np.asarray(
+        stacked = np.array(  # np.array: WRITABLE copy (admission mutates it)
             jnp.stack(
                 [
                     self.state.done.astype(jnp.int32),
@@ -275,23 +275,54 @@ class SlotDecoder:
             self.allocator.free(held[held != 0].tolist())
             self._host_table[s] = 0
 
-    def decode_chunk(self, k_steps: int = 8) -> None:
-        # paged capacity is fully reserved at admission (prompt + budget),
-        # so chunks never allocate — no mid-decode OOM by construction
-        self.state = self._chunk_fn(k_steps)(self.params, self.state)
+    def decode_chunk(self, k_steps: int = 8, return_flags: bool = False,
+                     sync: bool = True):
+        """Advance all live slots up to ``k_steps`` (early-exiting when every
+        slot is idle). Paged capacity is fully reserved at admission
+        (prompt + budget), so chunks never allocate — no mid-decode OOM by
+        construction.
+
+        ``return_flags=True``: the (done, budgets, n_emitted, tokens) state
+        comes back as an OUTPUT of the same program in ONE device→host
+        transfer — the scheduler loop then costs dispatch + one read per
+        chunk instead of dispatch + a separate flag-stack program + token
+        gathers (each host read is a ~100-200 ms RPC on remote backends)."""
+        self.state, fused = self._chunk_fn(k_steps)(self.params, self.state)
+        if not return_flags:
+            return None
+        if not sync:
+            return fused  # device array; reader calls to_host_flags later —
+            # lets a scheduler dispatch the NEXT chunk before paying the
+            # read's RPC (depth-1 pipelining, serve/server.py)
+        return self.to_host_flags(fused)
+
+    @staticmethod
+    def to_host_flags(fused):
+        """Device fused block → writable host (done, budgets, n_emitted,
+        tokens) tuple. Blocks until the producing chunk finishes."""
+        host = np.array(fused)  # writable copy: admission mutates the flags
+        return host[:, 0].astype(bool), host[:, 1], host[:, 2], host[:, 3:]
 
     def harvest(
         self,
-        flags: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+        flags: Optional[Tuple[np.ndarray, ...]] = None,
     ) -> List[Tuple[int, np.ndarray, int]]:
         """(slot, tokens, n) for every finished row with pending output.
         Frees the slots (budget→0 marks them reusable). Pass ``flags`` from
-        sync_flags() to avoid extra host transfers."""
-        done, budgets, counts_all = flags if flags is not None else self.sync_flags()
+        sync_flags() — or the 4-tuple from ``decode_chunk(return_flags=True)``,
+        whose host token copy avoids any further device read here."""
+        if flags is None:
+            flags = self.sync_flags()
+        done, budgets, counts_all = flags[0], flags[1], flags[2]
+        tokens_host = flags[3] if len(flags) > 3 else None
         ready = np.nonzero(done & (budgets > 0))[0]
         if ready.size == 0:
             return []
-        tokens = np.asarray(self.state.tokens[ready])
+        tokens = (
+            tokens_host[ready]
+            if tokens_host is not None
+            else np.asarray(self.state.tokens[ready])
+        )
         counts = counts_all[ready]
         self.state = self.state._replace(
             budgets=self.state.budgets.at[jnp.asarray(ready)].set(0)
@@ -456,7 +487,7 @@ class SlotDecoder:
             paged = self.paged
             rep = self.repetition_penalty
 
-            @self._jit_state_fn
+            @functools.partial(self._jit_state_fn, extra_out=True)
             def fn(params, state: SlotState):
                 def step(_, s: SlotState):
                     positions = (s.offsets - s.pad_lens)[:, None]
@@ -517,7 +548,31 @@ class SlotDecoder:
                         seen=seen,
                     )
 
-                return jax.lax.fori_loop(0, k_steps, step, state)
+                # while_loop (not fori): a chunk whose rows ALL finish (EOS /
+                # budget) mid-way stops early — with adaptive chunk lengths a
+                # 64-step chunk must not burn 60 dead steps
+                def cond(carry):
+                    i, s = carry
+                    return (i < k_steps) & ~jnp.all(s.done)
+
+                def body(carry):
+                    i, s = carry
+                    return i + 1, step(i, s)
+
+                _, new_state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+                # fused host block: flags + emitted tokens ride back as ONE
+                # program output → the scheduler does a single host read per
+                # chunk (harvest/_emit_partials consume the copy)
+                fused = jnp.concatenate(
+                    [
+                        new_state.done.astype(jnp.int32)[:, None],
+                        new_state.budgets[:, None],
+                        new_state.n_emitted[:, None],
+                        new_state.tokens,
+                    ],
+                    axis=1,
+                )
+                return new_state, fused
 
             self._chunk_fns[k_steps] = fn
         return self._chunk_fns[k_steps]

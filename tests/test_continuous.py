@@ -116,6 +116,99 @@ def test_short_request_returns_before_long(engine):
         cb.shutdown()
 
 
+def test_rapid_slot_reuse_returns_correct_tokens(engine):
+    """Many distinct prompts through TWO slots: every response must equal
+    its one-shot result. Regression for the pipelined-scheduler staleness
+    race (round 3): a slot harvested from the lagged chunk flags and
+    immediately re-admitted showed its OLD request 'ready' in the next
+    read — without the admission-generation guard the new request got the
+    old request's tokens and its budget zeroed."""
+    texts = [f"prompt number {i} about topic {i * 7}" for i in range(10)]
+    want = [engine.generate_text_response_batch([t], max_new_tokens=6)[0]
+            for t in texts]
+
+    cb = ContinuousBatchingEngine(
+        engine, n_slots=2, chunk_steps=2, max_prompt_len=256,
+        max_new_tokens=16, max_admit=2, admit_wait_ms=5.0,
+    )
+    try:
+        results = {}
+
+        def run(i):
+            results[i] = cb.submit(_Request("text", texts[i], "", 6), timeout=180)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(len(texts))]
+        for t in threads:
+            t.start()
+            time.sleep(0.01)  # staggered arrivals → constant slot churn
+        for t in threads:
+            t.join(timeout=180)
+        assert len(results) == len(texts)
+        for i, w in enumerate(want):
+            assert results[i] == w, (i, results[i], w)
+    finally:
+        cb.shutdown()
+
+
+def test_pipelined_stale_read_would_corrupt_without_guard(engine):
+    """Deterministic reconstruction of the pipelined-scheduler staleness
+    race: chunk B is dispatched BEFORE req1's harvest zeroes the slot, so
+    B's fused flags still show slot 0 'ready' with req1's budget — after
+    req2 is admitted there, harvesting from B's flags unguarded returns
+    req1's stale tokens and zeroes req2's device budget. The scheduler's
+    admission-generation guard masks exactly this read (serve/server.py
+    _loop); here we drive the decoder directly through the same sequence
+    and assert both the corruption (unguarded) and the fix (masked)."""
+    from llm_speech_summarization_tpu.infer.slots import SlotDecoder
+
+    texts = ["first request text", "second very different request"]
+    want2 = engine.generate_text_response_batch([texts[1]], max_new_tokens=6)[0]
+    e, m = engine.build_text_prompt_batch([texts[0]])
+    e2, m2 = engine.build_text_prompt_batch([texts[1]])
+
+    def sequence(guarded):
+        dec = SlotDecoder(
+            engine.llm_params, engine.llm_cfg, eos_id=engine.tokenizer.eos_id,
+            n_slots=1, max_prompt_len=256, max_new_tokens=16,
+            cache_dtype=engine.cache_dtype,
+        )
+        dec.admit(e[:1], m[:1], [0], [2])
+        devA = dec.decode_chunk(4, return_flags=True, sync=False)  # req1 finishes
+        devB = dec.decode_chunk(4, return_flags=True, sync=False)  # pipelined
+        fA = dec.to_host_flags(devA)
+        got1 = dec.harvest(fA)  # req1 out; budget zeroing queued AFTER chunk B
+        assert [s for s, _, _ in got1] == [0]
+        dec.admit(e2[:1], m2[:1], [0], [6])  # req2 reuses slot 0
+        dec.decode_chunk(4)
+        fB = dec.to_host_flags(devB)  # STALE: still shows req1 ready
+        if guarded:
+            fB[1][0] = 0  # the scheduler's mask for freshly-admitted slots
+            fB[0][0] = True
+        stale = dec.harvest(fB)
+        for _ in range(3):
+            dec.decode_chunk(4)
+        final = dec.harvest()
+        return stale, final
+
+    stale, final = sequence(guarded=False)
+    # unguarded: the stale read re-harvests slot 0 (req1's leftovers) and
+    # its device-side budget zeroing kills req2 — no (or truncated) harvest
+    corrupted = bool(stale) and not (
+        final
+        and engine.tokenizer.decode(
+            final[0][1][: min(final[0][2], 6)].tolist(), skip_special_tokens=True
+        ) == want2
+    )
+    assert corrupted, "expected the unguarded sequence to corrupt req2"
+
+    stale, final = sequence(guarded=True)
+    assert stale == [] and len(final) == 1
+    got2 = engine.tokenizer.decode(
+        final[0][1][: min(final[0][2], 6)].tolist(), skip_special_tokens=True
+    )
+    assert got2 == want2
+
+
 def test_continuous_audio_requests(engine):
     """Audio requests run through the same slot scheduler end-to-end and
     match the one-shot audio path."""
