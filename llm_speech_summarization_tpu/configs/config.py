@@ -136,6 +136,12 @@ class TrainConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     buckets: BucketConfig = field(default_factory=BucketConfig)
     remat: bool = True  # jax.checkpoint the LLM blocks
+    # "full" recomputes whole blocks in backward; "save_qkv" keeps post-rope
+    # q/k/v + attention outputs resident so the backward skips recomputing
+    # the qkv projections, rope, and the flash forward (the frozen LLM's dx
+    # chain needs no other activations from the attention half) — measured
+    # on the real chip before changing the default (PERF.md).
+    remat_policy: str = "full"  # "full" | "save_qkv"
     steps: Optional[int] = None  # optional hard step cap (overrides epochs)
     # Sequence parallelism for long-audio training: shard the spliced
     # sequence over the mesh "seq" axis and run the LLM forward through ring

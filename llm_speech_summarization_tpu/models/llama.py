@@ -257,6 +257,13 @@ def _block(
         v = _mm(h, lp, "wv").reshape(B, T, Hkv, Dh)
     q = apply_rope_cached(q, rope_cos, rope_sin)
     k = apply_rope_cached(k, rope_cos, rope_sin)
+    # names for selective remat (llama_forward remat_policy="save_qkv"):
+    # outside a policied jax.checkpoint these are identity ops
+    from jax.ad_checkpoint import checkpoint_name
+
+    q = checkpoint_name(q, "attn_q")
+    k = checkpoint_name(k, "attn_k")
+    v = checkpoint_name(v, "attn_v")
 
     if attn_kind == "bias":
         attn = dot_product_attention(q, k, v, attn_args[0])
@@ -357,6 +364,7 @@ def _block(
     else:
         raise ValueError(f"unknown attn kind {attn_kind}")
 
+    attn = checkpoint_name(attn, "attn_out")
     x = x + _mm(attn.reshape(B, T, Hq * Dh), lp, "wo")
 
     h = rms_norm(x, lp["post_attn_norm"], cfg.rms_eps)
@@ -390,6 +398,7 @@ def llama_forward(
     logit_window: int = 0,
     return_final_hidden: bool = False,
     remat: bool = False,
+    remat_policy: Optional[str] = None,
     attn_impl: str = "auto",
     scan_unroll: int = 1,
     ring_mesh=None,
@@ -543,7 +552,22 @@ def llama_forward(
         _block, attn_kind=attn_kind, ring_mesh=ring_mesh, ring_axis=ring_axis
     )
     if remat:
-        block = jax.checkpoint(block, static_argnums=(0,))
+        if remat_policy == "save_qkv":
+            # selective remat for the FROZEN-LLM backward (train/step.py):
+            # dx through a matmul is dy @ W.T — no activation needed — so
+            # the only recompute the backward truly requires is feeding the
+            # nonlinearities. Saving post-rope q/k/v (the flash-bwd kernel's
+            # inputs) and the attention output skips recomputing the qkv
+            # projections, rope, AND the flash forward; the MLP half
+            # (gate/up, ~50% of layer FLOPs) still recomputes — saving it
+            # would cost (B, T, 2I) per layer, the no-remat memory wall.
+            # +((3..5)·Dh·Hkv·group + D)·B·T·2 bytes per layer of residency.
+            pol = jax.checkpoint_policies.save_only_these_names(
+                "attn_q", "attn_k", "attn_v", "attn_out"
+            )
+            block = jax.checkpoint(block, static_argnums=(0,), policy=pol)
+        else:
+            block = jax.checkpoint(block, static_argnums=(0,))
 
     def scan_body(carry, layer_in):
         h = carry

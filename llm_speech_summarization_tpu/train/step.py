@@ -112,7 +112,7 @@ def _forward_losses(
             inputs_embeds=student.embeds, attn_mask=student.attn_mask,
             return_hidden=tcfg.use_fd_loss, hidden_window=W,
             compute_logits=False, return_final_hidden=True,
-            logit_window=W, remat=remat,
+            logit_window=W, remat=remat, remat_policy=tcfg.remat_policy,
             ring_mesh=ring_mesh, ring_axis=ring_axis,
         )
         t_out = llama_forward(
@@ -145,6 +145,7 @@ def _forward_losses(
             llm_params, llm_cfg,
             inputs_embeds=student.embeds, attn_mask=student.attn_mask,
             return_hidden=False, logit_window=W, remat=remat,
+            remat_policy=tcfg.remat_policy,
             ring_mesh=ring_mesh, ring_axis=ring_axis,
         )
         ntp = response_cross_entropy(

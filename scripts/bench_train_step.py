@@ -37,6 +37,9 @@ def main():
     cfg = load_config("llm_speech_summarization_tpu/configs/yaml/llama3_hubert.yaml")
     cfg.train.batch_size = B
     cfg.train.remat = remat
+    for a in sys.argv:  # --policy=save_qkv | full (selective remat)
+        if a.startswith("--policy="):
+            cfg.train.remat_policy = a.split("=")[1]
 
     llm_cfg = llama_preset(cfg.model.llm_preset or cfg.model.llm_type)
     enc_setup = encoder_setup_from_config(cfg)
