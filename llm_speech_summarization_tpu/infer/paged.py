@@ -7,10 +7,15 @@ heterogeneous-length loads share one pool (SURVEY.md §2.2 "decode attention
 reads as Pallas DMAs — kernels/paged_attention.py — and page writes as
 XLA scatters, everything jit-compatible).
 
-Layout: pools are (L, Hkv, P, page_size, Dh) — per (layer, head) a page is
-a contiguous (page_size, Dh) slab, one DMA burst. The page table, lengths
-and pads are small int32 arrays; the free list lives on the host (the
-allocator runs between jitted calls, like the slot scheduler's admission).
+Layout: pools are (L, P, Hkv, page_size, Dh) — PAGE-major: per (layer,
+page) the slab holding ALL kv heads is contiguous, so the decode kernel
+fetches one (Hkv, page_size, Dh) burst per (sequence, page) instead of one
+per (head, page). That is the round-3 DMA-coalescing fix (VERDICT r2 #7):
+the kernel was measured DMA-ISSUE-bound (PERF.md), and every head of a
+sequence shares the same page id, so fusing them cuts issued DMAs Hkv-fold.
+The page table, lengths and pads are small int32 arrays; the free list
+lives on the host (the allocator runs between jitted calls, like the slot
+scheduler's admission).
 """
 
 from __future__ import annotations
@@ -23,12 +28,12 @@ import numpy as np
 
 
 class PagedKVCache(NamedTuple):
-    k_pool: jnp.ndarray  # (L, Hkv, P, ps, Dh) — bf16/f32, or int8 quantized
-    v_pool: jnp.ndarray  # (L, Hkv, P, ps, Dh)
+    k_pool: jnp.ndarray  # (L, P, Hkv, ps, Dh) — bf16/f32, or int8 quantized
+    v_pool: jnp.ndarray  # (L, P, Hkv, ps, Dh)
     page_table: jnp.ndarray  # (B, max_pages) int32 (0-padded)
     lengths: jnp.ndarray  # (B,) int32 tokens written per row
     pad_lens: jnp.ndarray  # (B,) int32 left-pad inside the logical sequence
-    k_scale: Optional[jnp.ndarray] = None  # (L, Hkv, P, ps) bf16 iff int8
+    k_scale: Optional[jnp.ndarray] = None  # (L, P, Hkv, ps) bf16 iff int8
     v_scale: Optional[jnp.ndarray] = None
 
     @property
@@ -37,7 +42,7 @@ class PagedKVCache(NamedTuple):
 
     @property
     def num_pages(self) -> int:
-        return self.k_pool.shape[2]
+        return self.k_pool.shape[1]
 
     @property
     def quantized(self) -> bool:
@@ -55,7 +60,7 @@ def init_paged_cache(
     max_pages_per_seq: int,
     dtype=jnp.bfloat16,
 ) -> PagedKVCache:
-    shape = (num_layers, num_kv_heads, num_pages, page_size, head_dim)
+    shape = (num_layers, num_pages, num_kv_heads, page_size, head_dim)
     quantized = jnp.dtype(dtype) == jnp.int8
     # each field its own buffer (never alias zeros — donation, see
     # models/llama.py::init_kv_cache)
@@ -151,22 +156,25 @@ def write_token(
     pid = jnp.where(page_idx < mp, pid, 0)
     if active is not None:
         pid = jnp.where(active, pid, 0)
-    kt = k_new.transpose(0, 2, 1, 3)  # (L, Hkv, B, Dh)
-    vt = v_new.transpose(0, 2, 1, 3)
+    # page-major pools: advanced indices on axes (1: page, 3: slot) are
+    # separated by the head slice, so numpy moves them to the FRONT — the
+    # update operand is (B, L, Hkv, Dh)
+    kt = k_new.transpose(1, 0, 2, 3)  # (B, L, Hkv, Dh)
+    vt = v_new.transpose(1, 0, 2, 3)
     if cache.quantized:
         from ..models.llama import _quantize_kv
 
         kq, ks = _quantize_kv(kt)
         vq, vs = _quantize_kv(vt)
         return cache._replace(
-            k_pool=cache.k_pool.at[:, :, pid, slot].set(kq),
-            v_pool=cache.v_pool.at[:, :, pid, slot].set(vq),
-            k_scale=cache.k_scale.at[:, :, pid, slot].set(ks),
-            v_scale=cache.v_scale.at[:, :, pid, slot].set(vs),
+            k_pool=cache.k_pool.at[:, pid, :, slot].set(kq),
+            v_pool=cache.v_pool.at[:, pid, :, slot].set(vq),
+            k_scale=cache.k_scale.at[:, pid, :, slot].set(ks),
+            v_scale=cache.v_scale.at[:, pid, :, slot].set(vs),
         )
     return cache._replace(
-        k_pool=cache.k_pool.at[:, :, pid, slot].set(kt.astype(cache.k_pool.dtype)),
-        v_pool=cache.v_pool.at[:, :, pid, slot].set(vt.astype(cache.v_pool.dtype)),
+        k_pool=cache.k_pool.at[:, pid, :, slot].set(kt.astype(cache.k_pool.dtype)),
+        v_pool=cache.v_pool.at[:, pid, :, slot].set(vt.astype(cache.v_pool.dtype)),
     )
 
 
@@ -203,18 +211,18 @@ def write_prefill_pages_batch(
     ps = cache.page_size
     np_ = pages.shape[1]
 
-    def to_pages(x):  # (L, n, T, Hkv, Dh) -> (L, Hkv, n*np_, ps, Dh)
+    def to_pages(x):  # (L, n, T, Hkv, Dh) -> (L, n*np_, Hkv, ps, Dh)
         return (
-            x.transpose(0, 3, 1, 2, 4)
-            .reshape(L, Hkv, n, np_, ps, Dh)
-            .reshape(L, Hkv, n * np_, ps, Dh)
+            x.reshape(L, n, np_, ps, Hkv, Dh)
+            .transpose(0, 1, 2, 4, 3, 5)
+            .reshape(L, n * np_, Hkv, ps, Dh)
         )
 
-    def to_pages_s(x):  # (L, n, T, Hkv) -> (L, Hkv, n*np_, ps)
+    def to_pages_s(x):  # (L, n, T, Hkv) -> (L, n*np_, Hkv, ps)
         return (
-            x.transpose(0, 3, 1, 2)
-            .reshape(L, Hkv, n, np_, ps)
-            .reshape(L, Hkv, n * np_, ps)
+            x.reshape(L, n, np_, ps, Hkv)
+            .transpose(0, 1, 2, 4, 3)
+            .reshape(L, n * np_, Hkv, ps)
         )
 
     flat = pages.reshape(-1)
@@ -230,13 +238,13 @@ def write_prefill_pages_batch(
 
             kq, ks = _quantize_kv(kp)
             vq, vs = _quantize_kv(vp)
-        k_pool = cache.k_pool.at[:, :, flat].set(kq)
-        v_pool = cache.v_pool.at[:, :, flat].set(vq)
-        k_scale = cache.k_scale.at[:, :, flat].set(ks)
-        v_scale = cache.v_scale.at[:, :, flat].set(vs)
+        k_pool = cache.k_pool.at[:, flat].set(kq)
+        v_pool = cache.v_pool.at[:, flat].set(vq)
+        k_scale = cache.k_scale.at[:, flat].set(ks)
+        v_scale = cache.v_scale.at[:, flat].set(vs)
     else:
-        k_pool = cache.k_pool.at[:, :, flat].set(kp.astype(cache.k_pool.dtype))
-        v_pool = cache.v_pool.at[:, :, flat].set(vp.astype(cache.v_pool.dtype))
+        k_pool = cache.k_pool.at[:, flat].set(kp.astype(cache.k_pool.dtype))
+        v_pool = cache.v_pool.at[:, flat].set(vp.astype(cache.v_pool.dtype))
         k_scale, v_scale = cache.k_scale, cache.v_scale
     return cache._replace(
         k_pool=k_pool,

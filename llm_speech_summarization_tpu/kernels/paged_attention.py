@@ -13,11 +13,17 @@ dense decode kernel fast — kernels/decode_attention.py) need a different
 page per row per step. Block index_maps return one block per operand, so
 the page fetches are manual double-buffered DMAs instead:
 
-  * pools live in ANY (= HBM) memory space: (Hkv, P, page_size, Dh), the
-    in-page sequence axis contiguous per head so each DMA is one burst;
-  * grid is (R/bb,) over fused rows R = B·Hkv (bb ≤ 8 rows per program);
-  * per page-step t, each row r issues async copies of its page
-    pool[h_r, page_table[b_r, t]] into VMEM k/v buffers — double-buffered,
+  * pools live in ANY (= HBM) memory space, PAGE-major:
+    (P, Hkv, page_size, Dh) — one page slab holds EVERY kv head of that
+    page contiguously, so a single DMA per (sequence, page-step) fetches
+    all heads. Round 2's head-major layout issued 2·Hkv DMAs per page step
+    and measured DMA-ISSUE-bound (int8's half-sized bursts bought only ~7%
+    — PERF.md); all heads of a sequence share one page id, so fusing them
+    into one burst cuts issued DMAs Hkv-fold (VERDICT r2 #7);
+  * grid is (B/bs,) over sequences (bs sequences, bb = bs·Hkv fused rows
+    per program);
+  * per page-step t, each sequence s issues ONE async copy of its page
+    pool[page_table[b_s, t]] into VMEM k/v buffers — double-buffered,
     so page t+1 streams while page t computes;
   * validity is arithmetic: global position t·ps + slot is valid iff
     pad[b] ≤ pos < length[b]; rows past their last page copy page 0 and
@@ -51,17 +57,17 @@ def paged_reference(q, k_pool, v_pool, page_table, lengths, pad_lens, k_new, v_n
     masked attention over [pad, length) plus the fresh token. int8 pools
     dequantize through the gathered per-slot scales."""
     B = q.shape[0]
-    Hkv, P, ps, Dh = k_pool.shape
+    P, Hkv, ps, Dh = k_pool.shape
     mp = page_table.shape[1]
     S = mp * ps
     # (B, mp) pages -> dense (B, Hkv, S, Dh)
-    kg = k_pool[:, page_table]  # (Hkv, B, mp, ps, Dh)
-    vg = v_pool[:, page_table]
-    kd = kg.transpose(1, 0, 2, 3, 4).reshape(B, Hkv, S, Dh)
-    vd = vg.transpose(1, 0, 2, 3, 4).reshape(B, Hkv, S, Dh)
+    kg = k_pool[page_table]  # (B, mp, Hkv, ps, Dh)
+    vg = v_pool[page_table]
+    kd = kg.transpose(0, 2, 1, 3, 4).reshape(B, Hkv, S, Dh)
+    vd = vg.transpose(0, 2, 1, 3, 4).reshape(B, Hkv, S, Dh)
     if k_scale is not None:
-        ksg = k_scale[:, page_table].transpose(1, 0, 2, 3).reshape(B, Hkv, S)
-        vsg = v_scale[:, page_table].transpose(1, 0, 2, 3).reshape(B, Hkv, S)
+        ksg = k_scale[page_table].transpose(0, 2, 1, 3).reshape(B, Hkv, S)
+        vsg = v_scale[page_table].transpose(0, 2, 1, 3).reshape(B, Hkv, S)
         kd = (kd.astype(jnp.float32) * ksg[..., None].astype(jnp.float32)).astype(q.dtype)
         vd = (vd.astype(jnp.float32) * vsg[..., None].astype(jnp.float32)).astype(q.dtype)
 
@@ -87,13 +93,13 @@ def paged_reference(q, k_pool, v_pool, page_table, lengths, pad_lens, k_new, v_n
 
 def _paged_kernel(
     scal_ref,  # (B*mp + 2B,) int32: [page_table | lengths | pads]
-    q_ref,  # (bb, G, Dh) VMEM
-    kn_ref,  # (bb, 1, Dh) fresh key
-    vn_ref,  # (bb, 1, Dh) fresh value
-    k_pool_ref,  # (Hkv, P, ps, Dh) ANY (HBM); bf16/f32 or int8
+    q_ref,  # (bs, Hkv*G, Dh) VMEM
+    kn_ref,  # (bs, Hkv, Dh) fresh key
+    vn_ref,  # (bs, Hkv, Dh) fresh value
+    k_pool_ref,  # (P, Hkv, ps, Dh) ANY (HBM), page-major; bf16/f32 or int8
     v_pool_ref,
-    *rest,  # [ks_pool, vs_pool (Hkv, P, ps) ANY iff quantized,] o_ref, scratch...
-    bb: int,
+    *rest,  # [ks_pool, vs_pool (P, Hkv, 1, ps) ANY iff quantized,] o_ref, scratch...
+    bs: int,
     ps: int,
     max_pages: int,
     Hkv: int,
@@ -107,52 +113,51 @@ def _paged_kernel(
         ks_pool_ref = vs_pool_ref = ks_buf = vs_buf = ssem = None
         o_ref, k_buf, v_buf, sem = rest
     i = pl.program_id(0)
-    R = pl.num_programs(0) * bb
-    B = R // Hkv
+    B = pl.num_programs(0) * bs
+    bb = bs * Hkv  # fused compute rows
     mp = max_pages
 
-    def row_b(r):
-        return (i * bb + r) // Hkv
-
-    def row_h(r):
-        return (i * bb + r) % Hkv
+    def seq_b(s):
+        return i * bs + s
 
     def issue(t, slot):
-        """Start DMAs of page-step t for all rows into buffer `slot`."""
-        for r in range(bb):
-            pid = scal_ref[row_b(r) * mp + t]
+        """ONE (Hkv, ps, Dh) DMA per (sequence, k/v) — the page slab holds
+        every head contiguously (page-major pools)."""
+        for s in range(bs):
+            pid = scal_ref[seq_b(s) * mp + t]
             pltpu.make_async_copy(
-                k_pool_ref.at[row_h(r), pid], k_buf.at[slot, r], sem.at[slot, 0, r]
+                k_pool_ref.at[pid], k_buf.at[slot, s], sem.at[slot, 0, s]
             ).start()
             pltpu.make_async_copy(
-                v_pool_ref.at[row_h(r), pid], v_buf.at[slot, r], sem.at[slot, 1, r]
+                v_pool_ref.at[pid], v_buf.at[slot, s], sem.at[slot, 1, s]
             ).start()
             if quantized:
                 pltpu.make_async_copy(
-                    ks_pool_ref.at[row_h(r), pid], ks_buf.at[slot, r], ssem.at[slot, 0, r]
+                    ks_pool_ref.at[pid], ks_buf.at[slot, s], ssem.at[slot, 0, s]
                 ).start()
                 pltpu.make_async_copy(
-                    vs_pool_ref.at[row_h(r), pid], vs_buf.at[slot, r], ssem.at[slot, 1, r]
+                    vs_pool_ref.at[pid], vs_buf.at[slot, s], ssem.at[slot, 1, s]
                 ).start()
 
     def wait(t, slot):
-        for r in range(bb):
-            pid = scal_ref[row_b(r) * mp + t]
+        for s in range(bs):
+            pid = scal_ref[seq_b(s) * mp + t]
             pltpu.make_async_copy(
-                k_pool_ref.at[row_h(r), pid], k_buf.at[slot, r], sem.at[slot, 0, r]
+                k_pool_ref.at[pid], k_buf.at[slot, s], sem.at[slot, 0, s]
             ).wait()
             pltpu.make_async_copy(
-                v_pool_ref.at[row_h(r), pid], v_buf.at[slot, r], sem.at[slot, 1, r]
+                v_pool_ref.at[pid], v_buf.at[slot, s], sem.at[slot, 1, s]
             ).wait()
             if quantized:
                 pltpu.make_async_copy(
-                    ks_pool_ref.at[row_h(r), pid], ks_buf.at[slot, r], ssem.at[slot, 0, r]
+                    ks_pool_ref.at[pid], ks_buf.at[slot, s], ssem.at[slot, 0, s]
                 ).wait()
                 pltpu.make_async_copy(
-                    vs_pool_ref.at[row_h(r), pid], vs_buf.at[slot, r], ssem.at[slot, 1, r]
+                    vs_pool_ref.at[pid], vs_buf.at[slot, s], ssem.at[slot, 1, s]
                 ).wait()
 
-    q = q_ref[:]  # (bb, G, Dh)
+    G = q_ref.shape[1] // Hkv
+    q = q_ref[:].reshape(bb, G, q_ref.shape[2])  # (bb, G, Dh)
 
     issue(0, 0)
 
@@ -168,8 +173,8 @@ def _paged_kernel(
         if t + 1 < max_pages:
             issue(t + 1, (t + 1) % 2)
         wait(t, slot)
-        k = k_buf[slot]  # (bb, ps, Dh)
-        v = v_buf[slot]
+        k = k_buf[slot].reshape(bb, ps, k_buf.shape[-1])  # (bb, ps, Dh)
+        v = v_buf[slot].reshape(bb, ps, v_buf.shape[-1])
         m, l, acc = carry
         s = jax.lax.dot_general(
             q, k.astype(q.dtype),
@@ -182,11 +187,11 @@ def _paged_kernel(
             # kernel). Scale buffers are (bb, 1, ps) so the multiply is a
             # natural broadcast — a [:, None, :] reshape of a (bb, ps) tile
             # fails Mosaic's vector-layout inference.
-            s = s * ks_buf[slot].astype(jnp.float32)
+            s = s * ks_buf[slot].reshape(bb, 1, ps).astype(jnp.float32)
         pos = t * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
         masks = [
-            (pos >= scal_ref[B * mp + B + row_b(r)])
-            & (pos < scal_ref[B * mp + row_b(r)])
+            (pos >= scal_ref[B * mp + B + seq_b(r // Hkv)])
+            & (pos < scal_ref[B * mp + seq_b(r // Hkv)])
             for r in range(bb)
         ]
         valid = jnp.stack(masks, axis=0)  # (bb, 1, ps)
@@ -196,7 +201,7 @@ def _paged_kernel(
         p = jnp.exp(s - m_new)
         l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         if quantized:
-            p = p * vs_buf[slot].astype(jnp.float32)
+            p = p * vs_buf[slot].reshape(bb, 1, ps).astype(jnp.float32)
         acc = alpha * acc + jax.lax.dot_general(
             p.astype(q.dtype), v.astype(q.dtype),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -206,8 +211,10 @@ def _paged_kernel(
 
     # fresh token folds in last (always valid)
     m, l, acc = carry
+    kn = kn_ref[:].reshape(bb, 1, kn_ref.shape[-1])
+    vn = vn_ref[:].reshape(bb, 1, vn_ref.shape[-1])
     s_new = jax.lax.dot_general(
-        q, kn_ref[:].astype(q.dtype),
+        q, kn.astype(q.dtype),
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale  # (bb, G, 1)
@@ -215,21 +222,21 @@ def _paged_kernel(
     alpha = jnp.exp(m - m_new)
     p_new = jnp.exp(s_new - m_new)
     l = alpha * l + p_new
-    acc = alpha * acc + p_new * vn_ref[:].astype(jnp.float32)
-    o_ref[:] = (acc / l).astype(o_ref.dtype)
+    acc = alpha * acc + p_new * vn.astype(jnp.float32)
+    o_ref[:] = (acc / l).reshape(o_ref.shape).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def paged_decode_attention(
     q: jnp.ndarray,  # (B, 1, Hq, Dh)
-    k_pool: jnp.ndarray,  # (Hkv, P, page_size, Dh)
+    k_pool: jnp.ndarray,  # (P, Hkv, page_size, Dh) page-major
     v_pool: jnp.ndarray,
     page_table: jnp.ndarray,  # (B, max_pages) int32 page ids (0-padded)
     lengths: jnp.ndarray,  # (B,) int32: tokens already in pages (per row)
     pad_lens: jnp.ndarray,  # (B,) int32: left-pad inside the logical seq
     k_new: jnp.ndarray,  # (B, 1, Hkv, Dh) fresh token (not yet in pages)
     v_new: jnp.ndarray,
-    k_scale: Optional[jnp.ndarray] = None,  # (Hkv, P, ps) bf16 iff int8 pools
+    k_scale: Optional[jnp.ndarray] = None,  # (P, Hkv, ps) bf16 iff int8 pools
     v_scale: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -239,7 +246,7 @@ def paged_decode_attention(
     from per-slot scales (halves the page traffic, like the dense int8
     cache)."""
     B, _, Hq, Dh = q.shape
-    Hkv, P, ps, _ = k_pool.shape
+    P, Hkv, ps, _ = k_pool.shape
     assert Hq % Hkv == 0
     group = Hq // Hkv
     mp = page_table.shape[1]
@@ -255,14 +262,15 @@ def paged_decode_attention(
             k_scale=k_scale, v_scale=v_scale,
         )
 
-    R = B * Hkv
-    bb = 8
-    while bb > 1 and R % bb != 0:
-        bb -= 1
+    # sequences per program: keep ~8 fused compute rows (bb = bs·Hkv) like
+    # the dense kernel, bounded by VMEM (2 double-buffered page slabs)
+    bs = max(1, 8 // Hkv)
+    while bs > 1 and B % bs != 0:
+        bs -= 1
 
-    qg = q.reshape(B, Hkv, group, Dh).reshape(R, group, Dh)
-    kn = k_new.astype(q.dtype).reshape(R, 1, Dh)
-    vn = v_new.astype(q.dtype).reshape(R, 1, Dh)
+    qg = q.reshape(B, Hq, Dh)  # (B, Hkv·G, Dh) — head-major per sequence
+    kn = k_new.astype(q.dtype).reshape(B, Hkv, Dh)
+    vn = v_new.astype(q.dtype).reshape(B, Hkv, Dh)
     scalars = jnp.concatenate(
         [
             page_table.astype(jnp.int32).reshape(-1),
@@ -271,53 +279,53 @@ def paged_decode_attention(
         ]
     )
 
-    row_block = lambda i, scal: (i, 0, 0)  # noqa: E731
+    seq_block = lambda i, scal: (i, 0, 0)  # noqa: E731
     kernel = functools.partial(
-        _paged_kernel, bb=bb, ps=ps, max_pages=mp, Hkv=Hkv, scale=Dh ** -0.5,
+        _paged_kernel, bs=bs, ps=ps, max_pages=mp, Hkv=Hkv, scale=Dh ** -0.5,
         quantized=quantized,
     )
     in_specs = [
-        pl.BlockSpec((bb, group, Dh), row_block),
-        pl.BlockSpec((bb, 1, Dh), row_block),
-        pl.BlockSpec((bb, 1, Dh), row_block),
+        pl.BlockSpec((bs, Hq, Dh), seq_block),
+        pl.BlockSpec((bs, Hkv, Dh), seq_block),
+        pl.BlockSpec((bs, Hkv, Dh), seq_block),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     operands = [scalars, qg, kn, vn, k_pool, v_pool]
     scratch = [
-        pltpu.VMEM((2, bb, ps, Dh), k_pool.dtype),
-        pltpu.VMEM((2, bb, ps, Dh), v_pool.dtype),
-        pltpu.SemaphoreType.DMA((2, 2, bb)),
+        pltpu.VMEM((2, bs, Hkv, ps, Dh), k_pool.dtype),
+        pltpu.VMEM((2, bs, Hkv, ps, Dh), v_pool.dtype),
+        pltpu.SemaphoreType.DMA((2, 2, bs)),
     ]
     if quantized:
         in_specs += [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
-        # (Hkv, P, 1, ps) f32: page slabs arrive as (1, ps) rows, so the
-        # scale scratch is (bb, 1, ps) and broadcasts against (bb, G, ps)
-        # logits with no shape cast. f32 because bf16 sublane packing (2)
-        # rejects height-1 DMA slices; the cast is ~1 MB/layer, noise next
-        # to the page traffic.
+        # (P, Hkv, 1, ps) f32: page slabs arrive as (Hkv, 1, ps) rows, so
+        # the scale scratch reshapes to (bb, 1, ps) and broadcasts against
+        # (bb, G, ps) logits with no shape cast. f32 because bf16 sublane
+        # packing (2) rejects height-1 DMA slices; the cast is ~1 MB/layer,
+        # noise next to the page traffic.
         operands += [
             k_scale[:, :, None, :].astype(jnp.float32),
             v_scale[:, :, None, :].astype(jnp.float32),
         ]
         scratch += [
-            pltpu.VMEM((2, bb, 1, ps), jnp.float32),
-            pltpu.VMEM((2, bb, 1, ps), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2, bb)),
+            pltpu.VMEM((2, bs, Hkv, 1, ps), jnp.float32),
+            pltpu.VMEM((2, bs, Hkv, 1, ps), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, bs)),
         ]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(R // bb,),
+            grid=(B // bs,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((bb, group, Dh), row_block),
+            out_specs=pl.BlockSpec((bs, Hq, Dh), seq_block),
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((R, group, Dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Dh), q.dtype),
         interpret=interpret,
     )(*operands)
-    return out.reshape(B, Hkv, group, Dh).reshape(B, 1, Hq, Dh)
+    return out.reshape(B, 1, Hq, Dh)

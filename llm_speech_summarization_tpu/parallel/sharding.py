@@ -89,8 +89,9 @@ def slot_state_spec(state: Any, mesh: Mesh) -> Any:
     (``llama_param_spec``): each model-shard holds exactly the cache heads
     its wk/wv shards produce, so decode attention runs with ZERO cache
     collectives (the per-block all-reduce after wo is the only comm, as in
-    training TP). Works for the dense cache (k/v: (L, N, Hkv, S, Dh), head
-    axis 2) and the paged pools ((L, Hkv, P, ps, Dh), head axis 1). When
+    training TP). Works for the dense cache (k/v: (L, N, Hkv, S, Dh)) and
+    the page-major paged pools ((L, P, Hkv, ps, Dh)) — the head axis is 2
+    in both layouts. When
     the head count does not divide the axis, everything stays replicated —
     still correct, just memory-replicated. All scalar slot state (tokens,
     budgets, flags) is replicated: it is tiny and the host reads it.
@@ -99,7 +100,7 @@ def slot_state_spec(state: Any, mesh: Mesh) -> Any:
     replicated = jax.tree_util.tree_map(lambda x: P(), state)
     cache = state.cache
     paged = hasattr(cache, "page_table")
-    h_axis = 1 if paged else 2
+    h_axis = 2
     kv = cache.k_pool if paged else cache.k
     if tp <= 1 or kv.shape[h_axis] % tp != 0:
         return replicated

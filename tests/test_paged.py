@@ -28,8 +28,9 @@ def _random_paged_case(seed=0, B=2, Hq=4, Hkv=2, Dh=128, ps=64, mp=3):
     """Random pool + tables with per-row lengths/pads and a fresh token."""
     rng = np.random.RandomState(seed)
     P = 1 + B * mp
-    k_pool = rng.randn(Hkv, P, ps, Dh).astype(np.float32)
-    v_pool = rng.randn(Hkv, P, ps, Dh).astype(np.float32)
+    # page-major pools: (P, Hkv, ps, Dh) — one slab per page holds all heads
+    k_pool = rng.randn(P, Hkv, ps, Dh).astype(np.float32)
+    v_pool = rng.randn(P, Hkv, ps, Dh).astype(np.float32)
     # distinct pages per row (page 0 reserved/null)
     ids = np.arange(1, 1 + B * mp).reshape(B, mp).astype(np.int32)
     lengths = np.array([ps * mp - 7, ps + 3], np.int32)  # partial last pages
@@ -47,15 +48,15 @@ def test_paged_reference_matches_dense_attention():
     out = paged_reference(q, k_pool, v_pool, ids, lengths, pads, k_new, v_new)
 
     B, _, Hq, Dh = q.shape
-    Hkv, _, ps, _ = k_pool.shape
+    _, Hkv, ps, _ = k_pool.shape
     mp = ids.shape[1]
     S = mp * ps
     kd = np.zeros((B, S + 1, Hkv, Dh), np.float32)
     vd = np.zeros((B, S + 1, Hkv, Dh), np.float32)
     for b in range(B):
         for t in range(mp):
-            kd[b, t * ps : (t + 1) * ps] = np.asarray(k_pool)[:, ids[b, t]].transpose(1, 0, 2)
-            vd[b, t * ps : (t + 1) * ps] = np.asarray(v_pool)[:, ids[b, t]].transpose(1, 0, 2)
+            kd[b, t * ps : (t + 1) * ps] = np.asarray(k_pool)[ids[b, t]].transpose(1, 0, 2)
+            vd[b, t * ps : (t + 1) * ps] = np.asarray(v_pool)[ids[b, t]].transpose(1, 0, 2)
     kd[:, S] = np.asarray(k_new)[:, 0]
     vd[:, S] = np.asarray(v_new)[:, 0]
 
@@ -241,9 +242,9 @@ def test_paged_kernel_int8_interpret():
     q, k_pool, v_pool, ids, lengths, pads, k_new, v_new = _random_paged_case(seed=4)
     q = q * 0.05
     rng = np.random.RandomState(9)
-    Hkv, P, ps, Dh = k_pool.shape
-    k_scale = jnp.asarray(0.5 + rng.rand(Hkv, P, ps), jnp.bfloat16)
-    v_scale = jnp.asarray(0.5 + rng.rand(Hkv, P, ps), jnp.bfloat16)
+    P, Hkv, ps, Dh = k_pool.shape
+    k_scale = jnp.asarray(0.5 + rng.rand(P, Hkv, ps), jnp.bfloat16)
+    v_scale = jnp.asarray(0.5 + rng.rand(P, Hkv, ps), jnp.bfloat16)
     k8 = jnp.clip(jnp.round(k_pool * 10), -127, 127).astype(jnp.int8)
     v8 = jnp.clip(jnp.round(v_pool * 10), -127, 127).astype(jnp.int8)
     cast = lambda x: x.astype(jnp.bfloat16)  # noqa: E731
