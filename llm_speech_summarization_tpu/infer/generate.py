@@ -204,6 +204,164 @@ def greedy_generate(
     return final.tokens, num
 
 
+def _ngram_propose(tokens: jnp.ndarray, t: jnp.ndarray, last: jnp.ndarray, k: int):
+    """Self-speculative draft: continue the most recent earlier occurrence
+    of the last emitted 2-gram (prompt-lookup decoding applied to the
+    OUTPUT history — the audio prompt has no token ids to look up).
+    tokens: (B, S) emitted so far (eos-padded); t: (B,) per-row emitted
+    counts; last: (B,) the newest token per row. Rows without a match
+    draft ``last`` repeated — greedy loops (the reference's documented
+    failure mode, reference: inference.py:169-171) then verify at high
+    acceptance."""
+    B, S = tokens.shape
+    g0 = tokens[jnp.arange(B), jnp.maximum(t - 2, 0)]  # (B,)
+    g1 = last
+    idx = jnp.arange(S, dtype=jnp.int32)[None, :]
+    m = (
+        (tokens == g0[:, None])
+        & (jnp.roll(tokens, -1, axis=1) == g1[:, None])
+        & (idx + 1 <= t[:, None] - 2)  # strictly before the trailing 2-gram
+        & (t[:, None] >= 3)
+    )
+    best = jnp.max(jnp.where(m, idx, -1), axis=1)  # (B,) most recent match
+    has = best >= 0
+    cols = jnp.clip(best[:, None] + 2 + jnp.arange(k)[None, :], 0, S - 1)
+    cont = jnp.take_along_axis(tokens, cols, axis=1)  # (B, k)
+    in_range = (best[:, None] + 2 + jnp.arange(k)[None, :]) < t[:, None]
+    draft = jnp.where(has[:, None] & in_range, cont, last[:, None])
+    return draft.astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_id", "k", "cache_dtype"),
+)
+def speculative_generate(
+    params,
+    cfg: LlamaConfig,
+    inputs_embeds: jnp.ndarray,
+    attn_mask: jnp.ndarray,
+    *,
+    max_new_tokens: int,
+    eos_id: int,
+    k: int = 4,
+    cache_dtype=jnp.bfloat16,
+    draft_override: Optional[jnp.ndarray] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy generation with self-speculative (n-gram lookahead) decoding.
+
+    Each round proposes ``k`` draft tokens (``_ngram_propose``) and runs ONE
+    (k+1)-token verification forward; the longest agreeing prefix plus the
+    model's bonus token all commit in that round. Decode is weight-stream
+    bound, so the (k+1)-token forward costs barely more than a 1-token step
+    — at draft-acceptance rate α each round emits 1+αk tokens for ~1 step's
+    HBM traffic (PERF.md "speculative decoding" for measured bounds).
+
+    Cache layout: every round writes its k+1 fresh K/V at a uniform scalar
+    offset and carries an explicit per-row validity BITMASK (rejected-draft
+    entries stay invalid), so per-row acceptance can diverge without
+    per-row write offsets. The cache is sized L + max_new·(k+1) — the α→0
+    worst case; callers bucket max_new accordingly.
+
+    ``draft_override`` (B, max_new) replaces the n-gram proposer with a
+    fixed token stream — the α=1 measurement harness (and tests).
+
+    Returns (tokens (B, max_new) int32 eos-padded, lengths (B,),
+    n_rounds scalar — verification forwards executed; the per-round cost
+    vs a plain decode step is the whole economics of the method).
+    """
+    B, L, _ = inputs_embeds.shape
+    S = L + max_new_tokens * (k + 1)
+    cache = init_kv_cache(cfg, B, S, dtype=cache_dtype)
+    out = llama_forward(
+        params, cfg, inputs_embeds=inputs_embeds, attn_mask=attn_mask,
+        kv_cache=cache, cache_offset=jnp.int32(0), last_logit_only=True,
+    )
+    first = jnp.argmax(out.logits[:, -1], axis=-1).astype(jnp.int32)
+    lens = jnp.sum(attn_mask.astype(jnp.int32), axis=1)
+    pad_lens = (L - lens).astype(jnp.int32)
+    slot = jnp.arange(S, dtype=jnp.int32)[None, :]
+    kv_valid0 = (slot >= pad_lens[:, None]) & (slot < L)
+
+    tokens0 = jnp.full((B, max_new_tokens), eos_id, jnp.int32).at[:, 0].set(first)
+
+    # carry: (n_emitted (B,), write_offset scalar, tokens, last (B,),
+    #         done (B,), cache, kv_valid, positions (B,) next logical pos)
+    state = (
+        jnp.ones((B,), jnp.int32),
+        jnp.int32(L),
+        tokens0,
+        first,
+        first == eos_id,
+        out.kv_cache,
+        kv_valid0,
+        lens,  # logical position of the NEXT token per row
+    )
+
+    def cond_fn(s):
+        n, _, _, _, done, *_ = s
+        live = ~done & (n < max_new_tokens)
+        return jnp.any(live)
+
+    def body(s):
+        n, off, tokens, last, done, cache, kv_valid, pos = s
+        if draft_override is None:
+            draft = _ngram_propose(tokens, n, last, k)  # (B, k)
+        else:
+            cols = jnp.clip(n[:, None] + jnp.arange(k)[None, :], 0, max_new_tokens - 1)
+            draft = jnp.take_along_axis(draft_override, cols, axis=1)
+        seq = jnp.concatenate([last[:, None], draft], axis=1)  # (B, k+1)
+        positions = pos[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+        fwd = llama_forward(
+            params, cfg, input_ids=seq,
+            attn_mask=jnp.ones((B, k + 1), bool),
+            positions=positions,
+            kv_cache=cache, cache_offset=off, kv_valid=kv_valid,
+        )
+        preds = jnp.argmax(fwd.logits, axis=-1).astype(jnp.int32)  # (B, k+1)
+        # longest agreeing draft prefix; +1 bonus token always commits
+        agree = jnp.cumprod((preds[:, :-1] == draft).astype(jnp.int32), axis=1)
+        a = jnp.sum(agree, axis=1)  # (B,) accepted draft tokens
+        j = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+        commit = j <= a[:, None]  # (B, k+1) tokens emitted this round
+        # stop at the first EOS among committed tokens (it commits, the rest don't)
+        eos_seen = jnp.cumsum((preds == eos_id).astype(jnp.int32), axis=1)
+        commit = commit & (eos_seen - (preds == eos_id).astype(jnp.int32) == 0)
+        live = (~done)[:, None]
+        budget_ok = (n[:, None] + j) < max_new_tokens
+        commit = commit & live & budget_ok
+
+        dest = jnp.clip(n[:, None] + j, 0, max_new_tokens - 1)
+        tokens = jax.lax.fori_loop(
+            0, k + 1,
+            lambda i, tk: tk.at[jnp.arange(B), dest[:, i]].set(
+                jnp.where(commit[:, i], preds[:, i], tk[jnp.arange(B), dest[:, i]])
+            ),
+            tokens,
+        )
+        n_add = jnp.sum(commit.astype(jnp.int32), axis=1)
+        n_new = n + n_add
+        # the fresh K/V of the fed tokens [last, draft]: slots are valid for
+        # the fed positions that were CONSUMED — last is always consumed by
+        # live rows; draft j is consumed iff committed as context, i.e.
+        # j < n_add (the verified prefix feeds future attention)
+        fed_ok = (j < jnp.maximum(n_add, 1)[:, None]) & live
+        kv_valid = jax.lax.dynamic_update_slice(
+            kv_valid, fed_ok, (0, off)
+        )
+        last_new = jnp.take_along_axis(
+            preds, jnp.maximum(n_add - 1, 0)[:, None], axis=1
+        )[:, 0]
+        last = jnp.where(done, last, last_new)
+        done = done | jnp.any((preds == eos_id) & commit, axis=1) | (n_new >= max_new_tokens)
+        pos = pos + n_add
+        return (n_new, off + k + 1, tokens, last, done, fwd.kv_cache, kv_valid, pos)
+
+    n, off, tokens, _, done, _, _, _ = jax.lax.while_loop(cond_fn, body, state)
+    n_rounds = (off - L) // (k + 1)
+    return tokens, jnp.minimum(n, max_new_tokens), n_rounds
+
+
 def make_generate_fn(params, cfg: LlamaConfig, eos_id: int, temperature: float = 0.0):
     """Bind params/config into a (embeds, mask, max_new) → tokens callable."""
 

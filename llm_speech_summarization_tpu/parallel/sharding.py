@@ -156,10 +156,20 @@ def pad_batch_rows(batch: Any, multiple: int) -> Any:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Shard every leaf on its leading (batch) axis over "data"."""
+    """Shard every leaf on its leading (batch) axis over "data".
+
+    Multi-host: each process passes its LOCAL batch slice (the Trainer's
+    loader shards the index space per process) and the leaves assemble
+    into one global jax.Array via ``make_array_from_process_local_data``
+    — a plain device_put of host-local data cannot address the other
+    hosts' shards of a global mesh."""
+    multi = jax.process_count() > 1
 
     def put(x):
         spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multi and getattr(x, "ndim", 0) >= 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)

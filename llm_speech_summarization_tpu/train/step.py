@@ -225,16 +225,24 @@ def make_eval_step(
     prefix_ids: jnp.ndarray,
     suffix_ids: jnp.ndarray,
     total_len: int,
+    ring_mesh=None,
+    ring_axis: str = "seq",
 ):
     """Validation NLLs for audio- and text-prompted sequences
-    (reference: trainer.py:440-451): returns per-batch mean NLL pair."""
+    (reference: trainer.py:440-451): returns per-batch mean NLL pair.
+    ``ring_mesh``: long-audio configs validate sequence-parallel too —
+    without it the eval forward would run the full unsharded attention
+    per device and hit the very memory wall SP exists to avoid."""
 
     def eval_fn(enc_params, llm_params, batch: Batch):
         compute_dtype = jnp.dtype(cfg.model.compute_dtype)
         table = llm_params["embed_tokens"].astype(compute_dtype)
+        enc_sp = {"sp_mesh": ring_mesh, "sp_axis": ring_axis} if (
+            cfg.train.encoder_sp and ring_mesh is not None
+        ) else {}
         audio_embeds, emb_lens = audio_encoder_forward(
             enc_params, enc_setup, batch.wav.astype(compute_dtype), batch.wav_lens,
-            ctc_pool_ranges=batch.ctc_pool_ranges,
+            ctc_pool_ranges=batch.ctc_pool_ranges, **enc_sp,
         )
         student = splice_sequences(
             table, prefix_ids, suffix_ids, audio_embeds, emb_lens,
@@ -249,7 +257,8 @@ def make_eval_step(
         masks = jnp.concatenate([student.attn_mask, teacher.attn_mask], axis=0)
         W = batch.response_ids.shape[1] + 1
         out = llama_forward(
-            llm_params, llm_cfg, inputs_embeds=embeds, attn_mask=masks, logit_window=W
+            llm_params, llm_cfg, inputs_embeds=embeds, attn_mask=masks,
+            logit_window=W, ring_mesh=ring_mesh, ring_axis=ring_axis,
         )
         B = batch.wav.shape[0]
         audio_nll = response_cross_entropy(

@@ -203,6 +203,7 @@ class Trainer:
             self._eval_steps[audio_bucket] = make_eval_step(
                 self.config, self.enc_setup, self.llm_cfg,
                 self.prefix_ids, self.suffix_ids, total_len,
+                **self._ring_args(total_len),
             )
         return self._eval_steps[audio_bucket]
 
@@ -217,6 +218,17 @@ class Trainer:
         idx = np.arange(len(dataset))
         if shuffle:
             np.random.RandomState(seed).shuffle(idx)
+        # multi-host dp: every process draws a DISJOINT strided shard of the
+        # (identically seeded) shuffled index space and collates its local
+        # slice of the global batch; shard_batch assembles the global array
+        # (SURVEY §2.3 multi-process-loading row — per-host shards)
+        pc, pi = jax.process_count(), jax.process_index()
+        if pc > 1:
+            assert batch_size % pc == 0, (
+                f"global batch {batch_size} must divide process count {pc}"
+            )
+            idx = idx[pi::pc]
+            batch_size = batch_size // pc
         bcfg = self.config.train.buckets
         use_ctc = self.enc_setup.downsample_method == "ctc_pool"
         max_ranges = (max(bcfg.audio_samples) // 320 // 4 + 8) if use_ctc else None

@@ -102,6 +102,34 @@ def test_tp_quantized_fused_params_shard_and_generate(engines):
 
 
 @needs_8_devices
+def test_tp_paged_slot_decode_token_identical(engines):
+    """TP + paged KV: the page-major pools shard on their head axis
+    (slot_state_spec) and the full admit/decode/harvest cycle stays
+    token-identical to the unsharded paged decoder."""
+    ref, tp, mesh = engines
+    texts = ["paged tensor parallel", "the slow green turtle"]
+    budget = 12
+
+    def make(engine):
+        return SlotDecoder(
+            engine.llm_params, engine.llm_cfg,
+            eos_id=engine.tokenizer.eos_id, n_slots=4,
+            max_prompt_len=256, max_new_tokens=32,
+            cache_dtype=engine.cache_dtype, mesh=engine.mesh,
+            paged=True, page_size=64,
+        )
+
+    embeds, mask = ref.build_text_prompt_batch(texts)
+    want = _decode_all(ref, make(ref), embeds[:2], mask[:2], [0, 1], budget)
+    embeds_tp, mask_tp = tp.build_text_prompt_batch(texts)
+    got = _decode_all(tp, make(tp), embeds_tp[:2], mask_tp[:2], [0, 1], budget)
+    assert got == want
+    dec = make(tp)
+    spec = dec.state.cache.k_pool.sharding.spec
+    assert "model" in tuple(spec), spec
+
+
+@needs_8_devices
 def test_tp_http_e2e_on_mesh(engines):
     """Full HTTP serving (continuous scheduler + streaming) with the engine
     on the mesh: audio and text endpoints answer; streamed deltas

@@ -76,3 +76,38 @@ def test_sigterm_handler_restored_after_max_steps_return(tmp_path):
     before = signal.getsignal(signal.SIGTERM)
     t.train()
     assert signal.getsignal(signal.SIGTERM) is before
+
+
+def test_multihost_loader_shards_index_space(tmp_path, monkeypatch):
+    """With >1 process, each host collates a DISJOINT strided shard of the
+    shuffled index space at batch_size/process_count — together covering
+    every sample exactly once (SURVEY §2.3 per-host-shards row)."""
+    import jax
+
+    cfg, t = _make_trainer(tmp_path, num_samples=8, batch_size=4)
+
+    def batches_for(pi):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda: pi)
+        out = list(t._batches(t.train_ds, 4, shuffle=True, seed=7))
+        monkeypatch.undo()
+        return out
+
+    b0 = batches_for(0)
+    b1 = batches_for(1)
+    # local batches are global/2, and both hosts cover 4 samples each
+    assert sum(b.wav.shape[0] for b in b0) == 4
+    assert sum(b.wav.shape[0] for b in b1) == 4
+    # disjoint + complete: per-sample audio checksums identify samples
+    def ids(batches):
+        return sorted(
+            round(float(np.sum(np.asarray(b.wav)[i])), 3)
+            for b in batches
+            for i in range(b.wav.shape[0])
+        )
+
+    ids0, ids1 = ids(b0), ids(b1)
+    assert not set(ids0) & set(ids1)
+    assert sorted(ids0 + ids1) == ids(
+        t._batches(t.train_ds, 4, shuffle=True, seed=7)
+    )
