@@ -152,7 +152,6 @@ def _ring_fwd(q, k0, v0, starts_g, ends_g, axis_name, causal, interior, block, i
     n = jax.lax.psum(1, axis_name)
     my_idx = jax.lax.axis_index(axis_name)
     B, Tl, Hq, Dh = q.shape
-    perm = None  # built lazily: needs concrete n, available at trace time
 
     o0 = jax.lax.pvary(jnp.zeros((B, Tl, Hq, Dh), jnp.float32), axis_name)
     lse0 = jax.lax.pvary(jnp.full((B, Hq, Tl), NEG_INF, jnp.float32), axis_name)
