@@ -186,6 +186,9 @@ class LogConfig:
     num_generate_samples: int = 5
     # TPU additions
     jsonl_metrics: bool = True
+    # Periodic checkpoint saves overlap training via Orbax async (the
+    # SIGTERM/preemption save always blocks); False = save synchronously.
+    async_checkpoint: bool = True
 
 
 @dataclass

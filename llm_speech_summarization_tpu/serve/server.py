@@ -566,6 +566,7 @@ class SummarizationServer:
         else:
             self.batcher = BatchingEngine(engine, max_batch, max_wait_ms)
         self.target_sr = engine.config.audio.sampling_rate
+        self._started = time.monotonic()
         outer = self
 
         self.warmup = getattr(self.batcher, "warmup", lambda **kw: None)
@@ -635,6 +636,8 @@ class SummarizationServer:
                         "batches_run": outer.batcher.batches_run,
                         "requests_served": outer.batcher.requests_served,
                     })
+                elif self.path == "/metrics":
+                    self._respond(200, outer.metrics())
                 else:
                     self._respond(404, {"error": "not found"})
 
@@ -672,6 +675,34 @@ class SummarizationServer:
         # not get RST (the stdlib default backlog of 5 drops load spikes)
         ThreadingHTTPServer.request_queue_size = 128
         self.httpd = ThreadingHTTPServer((host, port), Handler)
+
+    def metrics(self) -> Dict[str, Any]:
+        """Operational snapshot for scrapers/dashboards (GET /metrics):
+        scheduler identity + why it was chosen, throughput counters, queue
+        depths, and — under the continuous scheduler — slot occupancy and
+        chunk sizing. All host-side state: zero device reads."""
+        b = self.batcher
+        out: Dict[str, Any] = {
+            "scheduler": type(b).__name__,
+            "scheduler_reason": self.scheduler_reason,
+            "requests_served": b.requests_served,
+            "batches_run": b.batches_run,
+            "queue_depth": b._queue.qsize(),
+            "uptime_s": round(time.monotonic() - self._started, 3),
+        }
+        if isinstance(b, ContinuousBatchingEngine):
+            out.update(
+                live_slots=len(b._by_slot),
+                n_slots=b.decoder.n_slots,
+                prepared_waves=b._prepared.qsize(),
+                chunk_steps=b.chunk_steps,
+                max_chunk_steps=b.max_chunk_steps,
+                paged=b.decoder.paged,
+            )
+            if b.decoder.paged:
+                out["free_pages"] = b.decoder.allocator.free_pages
+                out["num_pages"] = b.decoder.num_pages
+        return out
 
     @property
     def port(self) -> int:

@@ -28,18 +28,43 @@ def _ckpt_dir(base: str) -> str:
     return os.path.abspath(base)
 
 
-def save_train_checkpoint(base_dir: str, step: int, epoch: int, state: Any) -> str:
+_ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+
+
+def save_train_checkpoint(
+    base_dir: str, step: int, epoch: int, state: Any, block: bool = True
+) -> str:
+    """``block=False`` schedules the save on Orbax's async machinery and
+    returns once the arrays are snapshotted — training overlaps the
+    serialization/IO (the production default for periodic saves; the
+    reference's torch.save stalls the loop, reference: trainer.py:516-528).
+    The next async save waits for the previous one; call
+    ``finalize_saves()`` (the Trainer does, on every exit path) before
+    relying on the files."""
+    global _ASYNC_CKPTR
     path = os.path.join(_ckpt_dir(base_dir), f"step_{step}")
-    ckptr = ocp.StandardCheckpointer()
     payload = {
         "enc_params": state.enc_params,
         "opt_state": state.opt_state,
         "step": jax.numpy.asarray(step),
         "epoch": jax.numpy.asarray(epoch),
     }
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+    else:
+        if _ASYNC_CKPTR is None:
+            _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        _ASYNC_CKPTR.wait_until_finished()  # one in-flight save at a time
+        _ASYNC_CKPTR.save(path, args=ocp.args.StandardSave(payload), force=True)
     return path
+
+
+def finalize_saves() -> None:
+    """Block until any in-flight async checkpoint save has committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def latest_checkpoint(base_dir: str) -> Optional[str]:

@@ -323,7 +323,12 @@ class Trainer:
                         self.validate(epoch)
                     if self._stop_requested:
                         print("SIGTERM received: checkpointing and stopping")
-                        ckpt.save_train_checkpoint(self.checkpoint_dir, self.step, epoch, self.state)
+                        # preemption save BLOCKS (and drains any async save
+                        # in flight): the process may die right after
+                        ckpt.finalize_saves()
+                        ckpt.save_train_checkpoint(
+                            self.checkpoint_dir, self.step, epoch, self.state
+                        )
                         return
                     if max_steps is not None and self.step >= max_steps:
                         self.validate(epoch)
@@ -331,7 +336,9 @@ class Trainer:
                 self.validate(epoch)
         finally:
             # restored on EVERY exit path (round 1 leaked the handler on
-            # max-steps and SIGTERM returns)
+            # max-steps and SIGTERM returns); async checkpoint saves drain
+            # here so callers can rely on the files after train() returns
+            ckpt.finalize_saves()
             if prev_handler is not None:
                 signal.signal(signal.SIGTERM, prev_handler)
 
@@ -392,4 +399,7 @@ class Trainer:
                 sampling_rate=cfg.audio.sampling_rate,
             )
 
-        ckpt.save_train_checkpoint(self.checkpoint_dir, self.step, epoch, self.state)
+        ckpt.save_train_checkpoint(
+            self.checkpoint_dir, self.step, epoch, self.state,
+            block=not cfg.log.async_checkpoint,
+        )

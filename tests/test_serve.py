@@ -182,3 +182,14 @@ def test_over_budget_request_rejected_clearly():
         assert status == 400 and "budget" in out["error"], out
     finally:
         server.shutdown()
+
+
+def test_metrics_endpoint(server):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/metrics") as resp:
+        assert resp.status == 200
+        m = json.loads(resp.read())
+    assert m["scheduler"] in ("ContinuousBatchingEngine", "BatchingEngine")
+    assert "scheduler_reason" in m and "uptime_s" in m
+    assert m["requests_served"] >= 0 and m["queue_depth"] >= 0
+    if m["scheduler"] == "ContinuousBatchingEngine":
+        assert 0 <= m["live_slots"] <= m["n_slots"]

@@ -121,3 +121,29 @@ def test_trainer_end_to_end(tmp_path):
         jax.tree_util.tree_leaves(t2.state.enc_params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpoint_roundtrip(setup, tmp_path):
+    """block=False saves overlap training (Orbax async): two successive
+    async saves + finalize, then restore of the latest matches the state."""
+    import numpy as np
+
+    from llm_speech_summarization_tpu.train import checkpoint as ckpt
+
+    cfg, llm_cfg, llm_params, enc_setup, enc_params, prefix, suffix, batch = setup
+    from llm_speech_summarization_tpu.train import make_train_state
+
+    state, _ = make_train_state(cfg, enc_params, total_opt_steps=10)
+    base = str(tmp_path / "async_ckpt")
+    ckpt.save_train_checkpoint(base, 1, 0, state, block=False)
+    ckpt.save_train_checkpoint(base, 2, 0, state, block=False)  # waits for #1
+    ckpt.finalize_saves()
+    latest = ckpt.latest_checkpoint(base)
+    assert latest and latest.endswith("step_2")
+    restored, step, epoch = ckpt.restore_train_checkpoint(latest, state)
+    assert (step, epoch) == (2, 0)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.enc_params),
+        jax.tree_util.tree_leaves(restored["enc_params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
