@@ -23,6 +23,21 @@ def main(argv=None):
                         help="skip the admission-shape compile warmup "
                         "(first requests of each batch shape then stall)")
     parser.add_argument("--repetition_penalty", type=float, default=1.0)
+    parser.add_argument("--scheduler", choices=["auto", "continuous", "request"],
+                        default="auto",
+                        help="decode-level continuous batching vs request-level "
+                        "batching; auto picks by measured dispatch latency")
+    parser.add_argument("--paged", action="store_true",
+                        help="paged KV cache for the continuous scheduler "
+                        "(with int8 kv_cache_dtype this is the fastest AND "
+                        "highest-capacity configuration — PERF.md)")
+    parser.add_argument("--slots", type=int, default=32,
+                        help="continuous scheduler: persistent KV slots")
+    parser.add_argument("--max_new_tokens", type=int, default=256,
+                        help="continuous scheduler: per-request token budget cap")
+    parser.add_argument("--speculative_k", type=int, default=0,
+                        help="engine-level self-speculative decoding lookahead "
+                        "(greedy requests; 0 = off)")
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel degree: shard the frozen LLM "
                         "over a 'model' mesh axis of this size (e.g. --tp 8 "
@@ -42,13 +57,21 @@ def main(argv=None):
         # "Serving on a mesh" — per-chip replicas beat tp<n here)
         mesh = mesh_from_devices(data=-1, model=args.tp)
 
+    continuous = {"auto": "auto", "continuous": True, "request": False}[args.scheduler]
     serve(
         load_config(args.config),
         host=args.host,
         port=args.port,
         warmup=not args.no_warmup,
+        server_kwargs=dict(
+            continuous=continuous,
+            paged=args.paged,
+            n_slots=args.slots,
+            max_new_tokens=args.max_new_tokens,
+        ),
         audio_encoder_checkpoint=args.audio_encoder_checkpoint,
         repetition_penalty=args.repetition_penalty,
+        speculative_k=args.speculative_k,
         mesh=mesh,
     )
 

@@ -252,11 +252,15 @@ def paged_decode_attention(
     mp = page_table.shape[1]
     quantized = k_scale is not None
 
-    # int8 scale slabs are (1, ps) DMAs whose lane dim must be 128-aligned
-    # on real TPUs — int8 callers use page_size 128 (infer/slots.py does
-    # this automatically); other page sizes take the XLA gather path.
-    unaligned_int8 = quantized and ps % 128 != 0 and not interpret
-    if (jax.default_backend() != "tpu" or unaligned_int8) and not interpret:
+    # The manual page DMAs slice the pools' minor (lane) dim, and Mosaic
+    # requires such slices 128-aligned on real chips: head_dim < 128 (e.g.
+    # the tiny test config's 16) fails to COMPILE on hardware even though
+    # BlockSpec-driven kernels pad the same shapes automatically. Likewise
+    # the int8 scale slabs' (1, ps) rows — int8 callers use page_size 128
+    # (infer/slots.py does this automatically). Unaligned shapes take the
+    # XLA gather path; production geometry (Dh=128) uses the kernel.
+    unaligned = (Dh % 128 != 0 or (quantized and ps % 128 != 0)) and not interpret
+    if (jax.default_backend() != "tpu" or unaligned) and not interpret:
         return paged_reference(
             q, k_pool, v_pool, page_table, lengths, pad_lens, k_new, v_new,
             k_scale=k_scale, v_scale=v_scale,

@@ -159,6 +159,7 @@ class ContinuousBatchingEngine:
         admit_wait_ms: float = 100.0,
         paged: bool = False,
         max_chunk_steps: int = 64,
+        num_pages: Optional[int] = None,
     ):
         import jax.numpy as jnp
 
@@ -181,6 +182,7 @@ class ContinuousBatchingEngine:
             cache_dtype=engine.cache_dtype,
             repetition_penalty=getattr(engine, "repetition_penalty", 1.0),
             paged=paged,
+            num_pages=num_pages,
             mesh=getattr(engine, "mesh", None),  # TP serving rides the
             # engine's mesh: params are already sharded, the decoder shards
             # its cache state to match (parallel/sharding.py)
@@ -351,8 +353,18 @@ class ContinuousBatchingEngine:
                 # wave until harvested rows free pages (next chunk boundary)
                 if self._by_slot:
                     return
-                # nothing live will ever free pages: the wave simply cannot
-                # fit this pool — fail it rather than deadlock
+                if len(reqs) > 1:
+                    # empty pool but a whole-wave reservation overflows it:
+                    # split — admit the half that fits now, re-queue the
+                    # rest behind it (admit() rolled its allocations back).
+                    # Found live: warmup's max_admit-wide wave failed ALL
+                    # its requests on a pool that held 3 of the 4 fine.
+                    k = len(reqs) // 2
+                    self._prepared.put((embeds[k:], mask[k:], reqs[k:]))
+                    self._pending_wave = (embeds[:k], mask[:k], reqs[:k])
+                    continue
+                # a SINGLE request that cannot fit an empty pool will never
+                # fit: fail it rather than deadlock
                 for r in reqs:
                     r.error = f"MemoryError: {e}"
                     if r.stream:
@@ -542,7 +554,8 @@ class SummarizationServer:
                  max_batch: int = 32, max_wait_ms: float = 20.0,
                  continuous="auto", n_slots: int = 32,
                  chunk_steps: int = 16, max_new_tokens: int = 256,
-                 max_prompt_len: int = 512, paged: bool = False):
+                 max_prompt_len: int = 512, paged: bool = False,
+                 num_pages: Optional[int] = None):
         # "auto" picks the scheduler by MEASURED dispatch latency instead of
         # hardcoding the fast one for one backend class (VERDICT r2 weak #1):
         # sub-20 ms round-trips → continuous (decode-level batching, per-
@@ -562,6 +575,7 @@ class SummarizationServer:
                 engine, n_slots=n_slots, chunk_steps=chunk_steps,
                 max_admit=max_batch, max_new_tokens=max_new_tokens,
                 max_prompt_len=max_prompt_len, paged=paged,
+                num_pages=num_pages,
             )
         else:
             self.batcher = BatchingEngine(engine, max_batch, max_wait_ms)
@@ -722,14 +736,18 @@ class SummarizationServer:
 
 
 def serve(config, host: str = "0.0.0.0", port: int = 8080, warmup: bool = True,
-          **engine_kwargs):
+          server_kwargs=None, **engine_kwargs):
     """Build an engine from config and serve forever. ``warmup`` pre-compiles
     every admission batch shape before accepting traffic (each first
-    occurrence otherwise stalls live requests for an XLA compile)."""
+    occurrence otherwise stalls live requests for an XLA compile).
+    ``server_kwargs`` pass through to SummarizationServer (scheduler
+    choice, slots, paged, budgets)."""
     from ..infer.engine import LLMSpeechTextInference
 
     engine = LLMSpeechTextInference(config, **engine_kwargs)
-    server = SummarizationServer(engine, host=host, port=port)
+    server = SummarizationServer(engine, host=host, port=port,
+                                 **(server_kwargs or {}))
+    print(f"scheduler: {server.scheduler_reason}")
     if warmup:
         print("warming up (compiling admission shapes)...")
         server.warmup()

@@ -291,3 +291,42 @@ def test_engine_speculative_matches_plain():
     wavs = [(0.05 * rng.randn(12000)).astype(np.float32)]
     assert spec.generate_audio_response_batch(wavs, max_new_tokens=8) == \
         plain.generate_audio_response_batch(wavs, max_new_tokens=8)
+
+
+def test_speculative_eos_mid_round_matches_greedy():
+    """EOS landing INSIDE a committed draft window must truncate the round
+    exactly like greedy stopping: pick an eos id that actually occurs
+    mid-stream and require identical tokens/lengths."""
+    from llm_speech_summarization_tpu.infer.generate import speculative_generate
+
+    params = init_llama_params(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+    B, L, max_new = 2, 16, 24
+    rng = np.random.RandomState(11)
+    ids = rng.randint(1, TINY.vocab_size, (B, L))
+    embeds = params["embed_tokens"][jnp.asarray(ids)]
+    mask = jnp.ones((B, L), bool)
+
+    free_run, _ = greedy_generate(
+        params, TINY, embeds, mask, max_new_tokens=max_new, eos_id=-1,
+        cache_dtype=jnp.float32,
+    )
+    eos = int(np.asarray(free_run)[0, 7])  # a token emitted mid-stream
+
+    ref_tokens, ref_lens = greedy_generate(
+        params, TINY, embeds, mask, max_new_tokens=max_new, eos_id=eos,
+        cache_dtype=jnp.float32,
+    )
+    ref_tokens, ref_lens = np.asarray(ref_tokens), np.asarray(ref_lens)
+    assert ref_lens.min() < max_new, "eos must actually trigger"
+
+    for k in (2, 4):
+        toks, lens, _ = speculative_generate(
+            params, TINY, embeds, mask, max_new_tokens=max_new, eos_id=eos,
+            k=k, cache_dtype=jnp.float32,
+        )
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        np.testing.assert_array_equal(lens, ref_lens, err_msg=f"k={k}")
+        for b in range(B):
+            np.testing.assert_array_equal(
+                toks[b, : lens[b]], ref_tokens[b, : ref_lens[b]], err_msg=f"k={k} b={b}"
+            )

@@ -184,6 +184,114 @@ def test_over_budget_request_rejected_clearly():
         server.shutdown()
 
 
+def test_paged_wave_splits_under_pool_pressure():
+    """A coalesced admission wave whose WHOLE page reservation overflows an
+    otherwise-empty pool must split and serve every request, not fail the
+    wave (found by driving warmup live on the real chip: a 4-wide wave
+    errored 4 requests on a pool that held 3 of them fine). Pool sized so
+    TWO requests fit but a 4-request wave reserves double the pool — it
+    must split to 2+2, the second half waiting for the first to harvest."""
+    import http.client
+    import json as json_
+    import threading as threading_
+
+    from llm_speech_summarization_tpu.configs import load_config
+    from llm_speech_summarization_tpu.infer.engine import LLMSpeechTextInference
+    from llm_speech_summarization_tpu.infer.paged import pages_needed
+    from llm_speech_summarization_tpu.serve.server import SummarizationServer
+
+    cfg = load_config(TINY_YAML)
+    eng = LLMSpeechTextInference(cfg)
+    embeds, _ = eng.build_text_prompt_batch(["split me"])
+    need = pages_needed(embeds.shape[1] + 8, 64)  # per-request reservation
+    server = SummarizationServer(
+        eng, host="127.0.0.1", port=0, continuous=True, paged=True,
+        n_slots=4, chunk_steps=2, max_new_tokens=16, num_pages=1 + 2 * need,
+    )
+    server.start_background()
+    try:
+        want = eng.generate_text_response_batch(["split me"], max_new_tokens=8)[0]
+        results, errors = {}, []
+
+        def post(i):
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                                  timeout=300)
+                body = json_.dumps({"text": "split me", "max_new_tokens": 8})
+                conn.request("POST", "/v1/text_response", body,
+                             {"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                raw = resp.read()
+                conn.close()
+                assert resp.status == 200, raw[:200]
+                results[i] = json_.loads(raw)["response"]
+            except Exception as e:  # noqa: BLE001
+                errors.append((i, repr(e)))
+
+        threads = [threading_.Thread(target=post, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, errors
+        assert len(results) == 4
+        for i in range(4):
+            assert results[i] == want, (i, results[i], want)
+        # every reservation returned to the pool
+        assert len(server.batcher.decoder.allocator._free) == 2 * need
+    finally:
+        server.shutdown()
+
+
+def test_single_request_too_big_for_pool_fails_loudly():
+    """A SINGLE request whose reservation can never fit the pool must get
+    an explicit MemoryError response, not deadlock the scheduler."""
+    import http.client
+    import json as json_
+
+    from llm_speech_summarization_tpu.configs import load_config
+    from llm_speech_summarization_tpu.infer.engine import LLMSpeechTextInference
+    from llm_speech_summarization_tpu.serve.server import SummarizationServer
+
+    cfg = load_config(TINY_YAML)
+    eng = LLMSpeechTextInference(cfg)
+    from llm_speech_summarization_tpu.infer.paged import pages_needed
+
+    embeds, _ = eng.build_text_prompt_batch(["too big"])
+    T = embeds.shape[1]
+    small_need = pages_needed(T + 4, 64)
+    big_need = pages_needed(T + 200, 64)
+    assert big_need > small_need
+    server = SummarizationServer(
+        eng, host="127.0.0.1", port=0, continuous=True, paged=True,
+        n_slots=4, chunk_steps=2, max_new_tokens=256,
+        num_pages=1 + small_need,  # small fits, big never can
+    )
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=300)
+        # budget 200 → prompt+budget spans several 64-token pages > 1 free
+        body = json_.dumps({"text": "too big", "max_new_tokens": 200})
+        conn.request("POST", "/v1/text_response", body,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        out = json_.loads(resp.read())
+        conn.close()
+        assert resp.status == 400, out
+        assert "MemoryError" in out["error"], out
+        # and the server still serves afterwards (no wedged scheduler)
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=300)
+        conn.request("POST", "/v1/text_response",
+                     json_.dumps({"text": "small", "max_new_tokens": 4}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        ok = json_.loads(resp.read())
+        conn.close()
+        assert resp.status == 200 and isinstance(ok["response"], str), ok
+    finally:
+        server.shutdown()
+
+
 def test_metrics_endpoint(server):
     with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/metrics") as resp:
         assert resp.status == 200
