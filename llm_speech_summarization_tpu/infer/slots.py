@@ -30,6 +30,7 @@ import numpy as np
 
 from ..models.llama import KVCache, LlamaConfig, init_kv_cache, llama_forward
 from .paged import pages_needed as pages_needed_for
+from .sampling import sample_rows as _sample_rows
 
 
 class SlotState(NamedTuple):
@@ -42,6 +43,12 @@ class SlotState(NamedTuple):
     n_emitted: jnp.ndarray  # (N,) int32
     budgets: jnp.ndarray  # (N,) int32
     seen: jnp.ndarray  # (N, V) bool iff repetition penalty on, else (N, 1)
+    # per-request sampling params (infer/sampling.py): a slot's base PRNG
+    # key data plus temperature / top-k / top-p. temps <= 0 → exact greedy.
+    rng: jnp.ndarray  # (N, 2) uint32
+    temps: jnp.ndarray  # (N,) f32
+    top_ks: jnp.ndarray  # (N,) int32
+    top_ps: jnp.ndarray  # (N,) f32
 
 
 
@@ -171,6 +178,10 @@ class SlotDecoder:
             n_emitted=jnp.zeros((N,), jnp.int32),
             budgets=jnp.zeros((N,), jnp.int32),
             seen=jnp.zeros((N, V), bool),
+            rng=jnp.zeros((N, 2), jnp.uint32),
+            temps=jnp.zeros((N,), jnp.float32),
+            top_ks=jnp.zeros((N,), jnp.int32),
+            top_ps=jnp.ones((N,), jnp.float32),
         )
 
     # ------------------------------------------------------------------
@@ -204,6 +215,8 @@ class SlotDecoder:
         mask: jnp.ndarray,  # (n, T) bool
         slot_ids: List[int],
         budgets: List[int],
+        sampling=None,  # optional per-request [(temperature, top_k, top_p,
+        # seed), ...] — None / temperature<=0 rows decode greedily
     ) -> None:
         n, T, _ = embeds.shape
         if T + self.max_new > self.max_len:
@@ -256,6 +269,24 @@ class SlotDecoder:
                 raise
             self._host_table[np.asarray(slot_ids[:n_real])] = full_rows[:n_real]
             extra = (jnp.asarray(full_rows[:, :n_data]), jnp.asarray(full_rows))
+        # per-request sampling params, padded to the wave (padded rows are
+        # greedy: their scatters drop anyway). ONE admit program serves any
+        # greedy/sampling mix — the params are traced inputs, not statics.
+        temps = np.zeros((n,), np.float32)
+        top_ks = np.zeros((n,), np.int32)
+        top_ps = np.ones((n,), np.float32)
+        rngs = np.zeros((n, 2), np.uint32)
+        if sampling is not None:
+            from .sampling import key_data_from_seed
+
+            for i, sp in enumerate(sampling[:n_real]):
+                if sp is None:
+                    continue
+                temperature, top_k, top_p, seed = sp
+                temps[i] = temperature
+                top_ks[i] = top_k
+                top_ps[i] = top_p
+                rngs[i] = key_data_from_seed(seed)
         fn = self._admit_fn(n, T)
         self.state = fn(
             self.params,
@@ -264,6 +295,10 @@ class SlotDecoder:
             mask,
             jnp.asarray(slot_ids, jnp.int32),
             jnp.asarray(np.minimum(budgets, self.max_new), jnp.int32),
+            jnp.asarray(temps),
+            jnp.asarray(top_ks),
+            jnp.asarray(top_ps),
+            jnp.asarray(rngs),
             *extra,
         )
 
@@ -361,7 +396,10 @@ class SlotDecoder:
             cfg, eos, max_new = self.cfg, self.eos_id, self.max_new
 
             @self._jit_state_fn
-            def fn(params, state: SlotState, embeds, mask, slot_ids, budgets):
+            def fn(params, state: SlotState, embeds, mask, slot_ids, budgets,
+                   temps, top_ks, top_ps, rngs):
+                from .sampling import sample_rows
+
                 tmp = init_kv_cache(cfg, n, T, dtype=self.cache_dtype)
                 out = llama_forward(
                     params, cfg,
@@ -369,7 +407,12 @@ class SlotDecoder:
                     kv_cache=tmp, cache_offset=jnp.int32(0),
                     last_logit_only=True,
                 )
-                first = jnp.argmax(out.logits[:, -1], axis=-1).astype(jnp.int32)
+                # the first token is sampled at position T-1 (decode steps
+                # fold offsets T, T+1, ... — no key collision)
+                first = sample_rows(
+                    out.logits[:, -1], rngs,
+                    jnp.full((n,), T - 1, jnp.int32), temps, top_ks, top_ps,
+                )
                 lens = jnp.sum(mask.astype(jnp.int32), axis=1)
                 pads = (T - lens).astype(jnp.int32)
                 tmpc = out.kv_cache
@@ -397,6 +440,10 @@ class SlotDecoder:
                     n_emitted=state.n_emitted.at[slot_ids].set(1, mode="drop"),
                     budgets=state.budgets.at[slot_ids].set(budgets, mode="drop"),
                     seen=_seed_seen(state.seen, slot_ids, first),
+                    rng=state.rng.at[slot_ids].set(rngs, mode="drop"),
+                    temps=state.temps.at[slot_ids].set(temps, mode="drop"),
+                    top_ks=state.top_ks.at[slot_ids].set(top_ks, mode="drop"),
+                    top_ps=state.top_ps.at[slot_ids].set(top_ps, mode="drop"),
                 )
 
             self._admit_fns[key] = fn
@@ -412,8 +459,9 @@ class SlotDecoder:
 
             @self._jit_state_fn
             def fn(params, state: SlotState, embeds, mask, slot_ids, budgets,
-                   pages, full_rows):
+                   temps, top_ks, top_ps, rngs, pages, full_rows):
                 from .paged import write_prefill_pages_batch
+                from .sampling import sample_rows
 
                 tmp = init_kv_cache(cfg, n, T, dtype=self.cache_dtype)
                 out = llama_forward(
@@ -422,7 +470,10 @@ class SlotDecoder:
                     kv_cache=tmp, cache_offset=jnp.int32(0),
                     last_logit_only=True,
                 )
-                first = jnp.argmax(out.logits[:, -1], axis=-1).astype(jnp.int32)
+                first = sample_rows(
+                    out.logits[:, -1], rngs,
+                    jnp.full((n,), T - 1, jnp.int32), temps, top_ks, top_ps,
+                )
                 lens = jnp.sum(mask.astype(jnp.int32), axis=1)
                 pads = (T - lens).astype(jnp.int32)
                 tmpc = out.kv_cache  # k/v: (L, n, Hkv, T, Dh)
@@ -474,6 +525,10 @@ class SlotDecoder:
                     n_emitted=state.n_emitted.at[slot_ids].set(1, mode="drop"),
                     budgets=state.budgets.at[slot_ids].set(budgets, mode="drop"),
                     seen=_seed_seen(state.seen, slot_ids, first),
+                    rng=state.rng.at[slot_ids].set(rngs, mode="drop"),
+                    temps=state.temps.at[slot_ids].set(temps, mode="drop"),
+                    top_ks=state.top_ks.at[slot_ids].set(top_ks, mode="drop"),
+                    top_ps=state.top_ps.at[slot_ids].set(top_ps, mode="drop"),
                 )
 
             self._admit_fns[key] = fn
@@ -517,7 +572,17 @@ class SlotDecoder:
                     if rep != 1.0:
                         pen = jnp.where(logits > 0, logits / rep, logits * rep)
                         logits = jnp.where(s.seen, pen, logits)
-                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    # lax.cond (real XLA If): an all-greedy batch — the
+                    # common serving mix — skips the top-k sweep entirely,
+                    # keeping the hot decode step at its current cost
+                    nxt = jax.lax.cond(
+                        jnp.any(s.temps > 0.0),
+                        lambda: _sample_rows(
+                            logits, s.rng, s.offsets, s.temps, s.top_ks,
+                            s.top_ps,
+                        ),
+                        lambda: jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                    )
                     nxt = jnp.where(s.done, jnp.int32(eos), nxt)
                     emit = ~s.done
                     tokens = s.tokens.at[
@@ -546,6 +611,10 @@ class SlotDecoder:
                         n_emitted=n_emitted,
                         budgets=s.budgets,
                         seen=seen,
+                        rng=s.rng,
+                        temps=s.temps,
+                        top_ks=s.top_ks,
+                        top_ps=s.top_ps,
                     )
 
                 # while_loop (not fori): a chunk whose rows ALL finish (EOS /

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import base64
 import json
+import os
 import queue
 import threading
 import time
@@ -50,6 +51,19 @@ class _Request:
     partials: "queue.Queue" = field(default_factory=queue.Queue)
     _sent: int = 0  # chars already streamed
     _admit_iter: int = -1  # scheduler iteration the request was admitted at
+    # per-request sampling (continuous scheduler only; infer/sampling.py):
+    # temperature 0 = greedy; seed makes the draw reproducible
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    seed: Optional[int] = None
+
+    @property
+    def sampling_tuple(self):
+        if self.temperature <= 0.0:
+            return None
+        return (self.temperature, self.top_k, self.top_p,
+                self.seed if self.seed is not None else 0)
 
     @property
     def group_key(self):
@@ -337,7 +351,8 @@ class ContinuousBatchingEngine:
             slots = free[: len(reqs)]
             try:
                 self.decoder.admit(
-                    embeds, mask, slots, [r.max_new_tokens for r in reqs]
+                    embeds, mask, slots, [r.max_new_tokens for r in reqs],
+                    sampling=[r.sampling_tuple for r in reqs],
                 )
                 for s, r in zip(slots, reqs):
                     self._by_slot[s] = r
@@ -670,6 +685,35 @@ class SummarizationServer:
                     else:
                         self._respond(404, {"error": "not found"})
                         return
+                    # per-request sampling (continuous scheduler only: the
+                    # request-level batcher's generate programs take STATIC
+                    # sampling knobs, so per-request values would compile
+                    # per distinct temperature — reject loudly instead)
+                    temperature = float(body.get("temperature", 0.0))
+                    if temperature > 0.0:
+                        if not isinstance(outer.batcher, ContinuousBatchingEngine):
+                            self._respond(400, {"error": (
+                                "sampling (temperature>0) requires the "
+                                "continuous scheduler; this server runs "
+                                "request-level batching"
+                            )})
+                            return
+                        top_p = float(body.get("top_p", 1.0))
+                        if not (0.0 < top_p <= 1.0):
+                            self._respond(
+                                400, {"error": f"top_p {top_p} outside (0, 1]"}
+                            )
+                            return
+                        req.temperature = temperature
+                        req.top_k = max(0, int(body.get("top_k", 0)))
+                        req.top_p = top_p
+                        # unseeded requests draw an independent seed — two
+                        # identical prompts must not share a token stream
+                        seed = body.get("seed")
+                        req.seed = (
+                            int(seed) if seed is not None
+                            else int.from_bytes(os.urandom(4), "little")
+                        )
                     # streaming rides the continuous scheduler's per-chunk
                     # partials; the request-level batcher has no mid-flight
                     # tokens, so it falls back to a single response

@@ -1,0 +1,233 @@
+"""Per-request sampling in the continuous scheduler (infer/sampling.py):
+unit properties of the per-row sampler, slot-decoder integration (mixed
+greedy/sampling batches, seed determinism), and the HTTP surface.
+
+The reference leaves sampling sketched-but-disabled in its greedy decode
+loop (reference: inference.py:58-64); the one-shot engine already exposes
+static knobs — these tests pin down the per-ROW semantics the continuous
+scheduler needs."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_speech_summarization_tpu.configs import load_config
+from llm_speech_summarization_tpu.infer.engine import LLMSpeechTextInference
+from llm_speech_summarization_tpu.infer.sampling import (
+    key_data_from_seed,
+    sample_rows,
+)
+from llm_speech_summarization_tpu.infer.slots import SlotDecoder
+
+TINY_YAML = os.path.join(
+    os.path.dirname(__file__), "..", "llm_speech_summarization_tpu", "configs", "yaml",
+    "tiny_test.yaml",
+)
+
+
+# ---------------------------------------------------------------- unit
+
+
+def _inputs(N=6, V=97, seed=0):
+    rng = np.random.RandomState(seed)
+    logits = jnp.asarray(rng.randn(N, V).astype(np.float32) * 3.0)
+    keys = jnp.asarray(
+        np.stack([key_data_from_seed(100 + i) for i in range(N)])
+    )
+    positions = jnp.arange(N, dtype=jnp.int32) + 7
+    return logits, keys, positions
+
+
+def test_sample_rows_greedy_rows_are_exact_argmax():
+    logits, keys, positions = _inputs()
+    temps = jnp.asarray([0.0, 0.0, 1.5, 0.0, 2.0, 0.0], jnp.float32)
+    out = sample_rows(logits, keys, positions, temps,
+                      jnp.zeros(6, jnp.int32), jnp.ones(6, jnp.float32))
+    argmax = np.argmax(np.asarray(logits), axis=-1)
+    got = np.asarray(out)
+    for i, t in enumerate(np.asarray(temps)):
+        if t <= 0:
+            assert got[i] == argmax[i], i
+
+
+def test_sample_rows_top_k_restricts_support():
+    """With top_k=2, every draw must be one of that row's two best ids —
+    checked over many positions (fresh key stream each step)."""
+    logits, keys, _ = _inputs()
+    N, V = logits.shape
+    temps = jnp.full((N,), 4.0, jnp.float32)  # hot: spread mass around
+    top2 = np.argsort(np.asarray(logits), axis=-1)[:, -2:]
+    seen_ids = {i: set() for i in range(N)}
+    for pos in range(40):
+        out = np.asarray(
+            sample_rows(logits, keys, jnp.full((N,), pos, jnp.int32), temps,
+                        jnp.full((N,), 2, jnp.int32), jnp.ones(N, jnp.float32))
+        )
+        for i in range(N):
+            assert out[i] in top2[i], (i, pos, out[i], top2[i])
+            seen_ids[i].add(int(out[i]))
+    # at temperature 4 over 40 draws, both candidates appear somewhere
+    assert any(len(s) == 2 for s in seen_ids.values())
+
+
+def test_sample_rows_top_k1_and_tiny_top_p_are_greedy():
+    logits, keys, positions = _inputs()
+    N = logits.shape[0]
+    temps = jnp.full((N,), 3.0, jnp.float32)
+    argmax = np.argmax(np.asarray(logits), axis=-1)
+    k1 = sample_rows(logits, keys, positions, temps,
+                     jnp.ones(N, jnp.int32), jnp.ones(N, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(k1), argmax)
+    # top_p below the argmax's own probability keeps only the top token
+    p_tiny = sample_rows(logits, keys, positions, temps,
+                         jnp.zeros(N, jnp.int32),
+                         jnp.full((N,), 1e-6, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(p_tiny), argmax)
+
+
+def test_sample_rows_deterministic_and_position_dependent():
+    logits, keys, positions = _inputs()
+    N = logits.shape[0]
+    temps = jnp.full((N,), 2.0, jnp.float32)
+    a = np.asarray(sample_rows(logits, keys, positions, temps,
+                               jnp.zeros(N, jnp.int32), jnp.ones(N, jnp.float32)))
+    b = np.asarray(sample_rows(logits, keys, positions, temps,
+                               jnp.zeros(N, jnp.int32), jnp.ones(N, jnp.float32)))
+    np.testing.assert_array_equal(a, b)  # same (seed, position) → same draw
+    # a different position re-keys the draw; over 6 hot rows at least one
+    # must move (P[all equal] is negligible and the draw is deterministic,
+    # so this cannot flake across runs)
+    c = np.asarray(sample_rows(logits, keys, positions + 1, temps,
+                               jnp.zeros(N, jnp.int32), jnp.ones(N, jnp.float32)))
+    assert (a != c).any()
+
+
+# ------------------------------------------------------- slot decoder
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return LLMSpeechTextInference(load_config(TINY_YAML))
+
+
+def _make_decoder(engine, paged=False):
+    return SlotDecoder(
+        engine.llm_params,
+        engine.llm_cfg,
+        eos_id=engine.tokenizer.eos_id,
+        n_slots=4,
+        max_prompt_len=256,
+        max_new_tokens=16,
+        cache_dtype=engine.cache_dtype,
+        paged=paged,
+    )
+
+
+def _run(decoder, embeds, mask, budgets, sampling):
+    decoder.admit(embeds, mask, list(range(len(budgets))), budgets,
+                  sampling=sampling)
+    for _ in range(8):
+        if decoder.live_count() == 0:
+            break
+        decoder.decode_chunk(4)
+    return {s: tokens[:n].tolist() for s, tokens, n in decoder.harvest()}
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_slot_sampling_mixed_batch(engine, paged):
+    """One wave mixing greedy and sampling rows: greedy rows must be
+    token-identical to an all-greedy decoder; sampled rows must reproduce
+    exactly under the same seed (two fresh decoders)."""
+    texts = ["the cat sat", "a long story begins", "hello there"]
+    embeds, mask = engine.build_text_prompt_batch(texts)
+    n = len(texts)
+    budgets = [12, 12, 12]
+    sampling = [None, (0.9, 0, 1.0, 1234), (1.5, 8, 0.95, 77)]
+
+    base = _run(_make_decoder(engine, paged), embeds[:n], mask[:n], budgets,
+                None)
+    got1 = _run(_make_decoder(engine, paged), embeds[:n], mask[:n], budgets,
+                sampling)
+    got2 = _run(_make_decoder(engine, paged), embeds[:n], mask[:n], budgets,
+                sampling)
+
+    assert got1[0] == base[0]  # greedy row unaffected by co-batched samplers
+    assert got1 == got2  # same seeds → identical token streams
+    V = engine.llm_cfg.vocab_size
+    for row in got1.values():
+        assert all(0 <= t < V for t in row)
+
+
+def test_slot_sampling_different_seeds_diverge(engine):
+    """Same prompt, hot temperature, different seeds → different streams
+    (12 draws at temperature 2; a collision across every position would
+    mean the seed is ignored)."""
+    texts = ["tell me something"]
+    embeds, mask = engine.build_text_prompt_batch(texts)
+    a = _run(_make_decoder(engine), embeds[:1], mask[:1], [12],
+             [(2.0, 0, 1.0, 1)])
+    b = _run(_make_decoder(engine), embeds[:1], mask[:1], [12],
+             [(2.0, 0, 1.0, 2)])
+    assert a[0] != b[0]
+
+
+# -------------------------------------------------------------- HTTP
+
+
+def test_http_sampling_seeded_and_rejected():
+    import http.client
+
+    from llm_speech_summarization_tpu.serve.server import SummarizationServer
+
+    eng = LLMSpeechTextInference(load_config(TINY_YAML))
+    srv = SummarizationServer(eng, host="127.0.0.1", port=0, continuous=True,
+                              n_slots=4, chunk_steps=4, max_new_tokens=24)
+    srv.start_background()
+    try:
+        def post(body):
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                              timeout=300)
+            conn.request("POST", "/v1/text_response", json.dumps(body),
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            out = json.loads(resp.read())
+            conn.close()
+            return resp.status, out
+
+        body = {"text": "sample me", "max_new_tokens": 16,
+                "temperature": 1.2, "seed": 42}
+        s1, r1 = post(body)
+        s2, r2 = post(body)
+        assert s1 == s2 == 200
+        assert r1["response"] == r2["response"]  # seeded → reproducible
+
+        s3, r3 = post({"text": "sample me", "max_new_tokens": 16,
+                       "top_p": 0.0, "temperature": 1.0})
+        assert s3 == 400 and "top_p" in r3["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_http_sampling_rejected_on_request_level_scheduler():
+    import http.client
+
+    from llm_speech_summarization_tpu.serve.server import SummarizationServer
+
+    eng = LLMSpeechTextInference(load_config(TINY_YAML))
+    srv = SummarizationServer(eng, host="127.0.0.1", port=0, continuous=False)
+    srv.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=300)
+        conn.request("POST", "/v1/text_response",
+                     json.dumps({"text": "x", "temperature": 0.7}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        conn.close()
+        assert resp.status == 400 and "continuous" in out["error"]
+    finally:
+        srv.shutdown()
