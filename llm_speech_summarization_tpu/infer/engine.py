@@ -222,12 +222,41 @@ class LLMSpeechTextInference:
         return jax.device_put(x, NamedSharding(self.mesh, PartitionSpec()))
 
     def _generate_from_embeds(
-        self, embeds: jnp.ndarray, attn_mask: jnp.ndarray, max_new_tokens: int, rng=None
+        self, embeds: jnp.ndarray, attn_mask: jnp.ndarray, max_new_tokens: int,
+        rng=None, sampling=None,
     ) -> List[str]:
         """Run the jitted prefill+decode and detokenize
-        (reference: inference.py:55-74)."""
+        (reference: inference.py:55-74).
+
+        ``sampling``: optional per-request ``[(temperature, top_k, top_p,
+        seed) | None, ...]`` (length = real batch; padded rows greedy) —
+        traced per-row params, so one compiled program per bucket covers
+        every greedy/sampling mix (infer/sampling.py)."""
+        if sampling is not None and any(s is not None for s in sampling):
+            from .sampling import key_data_from_seed
+
+            B = embeds.shape[0]
+            temps = np.zeros((B,), np.float32)
+            top_ks = np.zeros((B,), np.int32)
+            top_ps = np.ones((B,), np.float32)
+            rngs = np.zeros((B, 2), np.uint32)
+            for i, sp in enumerate(sampling[:B]):
+                if sp is None:
+                    continue
+                temperature, top_k, top_p, seed = sp
+                temps[i] = temperature
+                top_ks[i] = top_k
+                top_ps[i] = top_p
+                rngs[i] = key_data_from_seed(seed)
+            sampling = (
+                jnp.asarray(rngs), jnp.asarray(temps),
+                jnp.asarray(top_ks), jnp.asarray(top_ps),
+            )
+        else:
+            sampling = None
         if (
-            self.speculative_k > 0
+            sampling is None
+            and self.speculative_k > 0
             and self.temperature <= 0.0
             and self.repetition_penalty == 1.0
         ):
@@ -266,6 +295,7 @@ class LLMSpeechTextInference:
             rng=rng,
             cache_dtype=self.cache_dtype,
             num_steps=jnp.int32(max_new_tokens),
+            sampling=sampling,
         )
         tokens = np.asarray(tokens)
         lens = np.asarray(lens)
@@ -327,7 +357,8 @@ class LLMSpeechTextInference:
         return embeds, jnp.asarray(mask)
 
     def generate_text_response_batch(
-        self, input_texts: Sequence[str], max_new_tokens: int = 256
+        self, input_texts: Sequence[str], max_new_tokens: int = 256,
+        sampling=None,
     ) -> List[str]:
         """Text-prompted generation (reference: inference.py:76-93), batched.
 
@@ -335,7 +366,8 @@ class LLMSpeechTextInference:
         splicing — exactly like the reference's f"{prefix} {text}{suffix} ".
         """
         embeds, mask = self.build_text_prompt_batch(input_texts)
-        out = self._generate_from_embeds(embeds, mask, max_new_tokens)
+        out = self._generate_from_embeds(embeds, mask, max_new_tokens,
+                                         sampling=sampling)
         return out[: len(input_texts)]
 
     def generate_audio_response(
@@ -358,13 +390,16 @@ class LLMSpeechTextInference:
         additional_text_prompt: str = "",
         max_new_tokens: int = 256,
         ctc_pool_ranges: Optional[Sequence[np.ndarray]] = None,
+        sampling=None,
     ) -> List[str]:
         """Audio(+text)-prompted generation (reference: inference.py:95-137),
         batched over utterances of different lengths."""
         embeds, mask = self.build_audio_prompt_batch(
             audios, additional_text_prompt, ctc_pool_ranges
         )
-        return self._generate_from_embeds(embeds, mask, max_new_tokens)[: len(audios)]
+        return self._generate_from_embeds(
+            embeds, mask, max_new_tokens, sampling=sampling
+        )[: len(audios)]
 
     def build_audio_prompt_batch(
         self,

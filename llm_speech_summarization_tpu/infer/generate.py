@@ -107,6 +107,7 @@ def greedy_generate(
     rng: Optional[jax.Array] = None,
     cache_dtype=jnp.bfloat16,
     num_steps: Optional[jnp.ndarray] = None,
+    sampling=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Generate up to ``max_new_tokens`` from a left-padded embeds batch.
 
@@ -114,6 +115,13 @@ def greedy_generate(
     is bucketed by callers to bound compilations); ``num_steps`` is an
     optional TRACED cap below it, so a request for e.g. 3 tokens inside a
     64-token bucket runs 3 decode steps, not 64.
+
+    ``sampling``, when given, is a TRACED per-row override of the static
+    temperature/top_k/top_p knobs: a tuple ``(rngs (B,2) uint32, temps
+    (B,), top_ks (B,), top_ps (B,))`` from infer/sampling.py — one compiled
+    program serves any greedy/sampling request mix (rows with temps<=0
+    decode exact-greedy). Draw t of row b is a pure function of
+    (rngs[b], L+t), so replays are reproducible.
 
     Returns (tokens (B, max_new_tokens) int32, eos-padded; lengths (B,)).
     """
@@ -126,6 +134,19 @@ def greedy_generate(
         if num_steps is None
         else jnp.minimum(jnp.asarray(num_steps, jnp.int32), max_new_tokens)
     )
+    if sampling is not None:
+        from .sampling import sample_rows
+
+        s_rngs, s_temps, s_topks, s_topps = sampling
+
+        def pick(rng_key, logits, position):
+            return sample_rows(
+                logits, s_rngs, jnp.full((B,), position, jnp.int32),
+                s_temps, s_topks, s_topps,
+            )
+    else:
+        def pick(rng_key, logits, position):
+            return _sample(logits, temperature, rng_key, top_k, top_p)
 
     cache = init_kv_cache(cfg, B, S, dtype=cache_dtype)
     out = llama_forward(
@@ -138,7 +159,7 @@ def greedy_generate(
         last_logit_only=True,
     )
     rng, k0 = jax.random.split(rng)
-    first = _sample(out.logits[:, -1], temperature, k0, top_k, top_p)  # (B,)
+    first = pick(k0, out.logits[:, -1], L - 1)  # (B,)
     lens = jnp.sum(attn_mask.astype(jnp.int32), axis=1)  # (B,) real prefill lengths
     pad_lens = (L - lens).astype(jnp.int32)  # valid cache slots start here
 
@@ -182,7 +203,7 @@ def greedy_generate(
         logits = out.logits[:, 0]
         if use_rep:
             logits = _apply_repetition_penalty(logits, s.seen, repetition_penalty)
-        nxt = _sample(logits, temperature, k, top_k, top_p)
+        nxt = pick(k, logits, L + s.step - 1)
         nxt = jnp.where(s.done, eos_id, nxt)
         tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, s.step))
         seen = s.seen.at[jnp.arange(B), nxt].set(True) if use_rep else s.seen

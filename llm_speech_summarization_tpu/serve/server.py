@@ -51,7 +51,7 @@ class _Request:
     partials: "queue.Queue" = field(default_factory=queue.Queue)
     _sent: int = 0  # chars already streamed
     _admit_iter: int = -1  # scheduler iteration the request was admitted at
-    # per-request sampling (continuous scheduler only; infer/sampling.py):
+    # per-request sampling (either scheduler; infer/sampling.py):
     # temperature 0 = greedy; seed makes the draw reproducible
     temperature: float = 0.0
     top_k: int = 0
@@ -129,15 +129,24 @@ class BatchingEngine:
             batch = self._drain_compatible(first)
             try:
                 budget = max(r.max_new_tokens for r in batch)
+                # per-request sampling params are TRACED inputs of the
+                # generate program (infer/generate.py::greedy_generate), so
+                # mixed greedy/sampling batches share one compiled program;
+                # None (all-greedy) keeps the speculative-decode fast path
+                sampling = [r.sampling_tuple for r in batch]
+                if all(s is None for s in sampling):
+                    sampling = None
                 if first.kind == "text":
                     outs = self.engine.generate_text_response_batch(
-                        [r.payload for r in batch], max_new_tokens=budget
+                        [r.payload for r in batch], max_new_tokens=budget,
+                        sampling=sampling,
                     )
                 else:
                     outs = self.engine.generate_audio_response_batch(
                         [r.payload for r in batch],
                         additional_text_prompt=first.text_prompt,
                         max_new_tokens=budget,
+                        sampling=sampling,
                     )
                 for r, out in zip(batch, outs):
                     r.result = out
@@ -685,19 +694,12 @@ class SummarizationServer:
                     else:
                         self._respond(404, {"error": "not found"})
                         return
-                    # per-request sampling (continuous scheduler only: the
-                    # request-level batcher's generate programs take STATIC
-                    # sampling knobs, so per-request values would compile
-                    # per distinct temperature — reject loudly instead)
+                    # per-request sampling — supported by BOTH schedulers:
+                    # params ride the decode programs as traced per-row
+                    # inputs (infer/sampling.py), so any greedy/sampling mix
+                    # shares one compiled program per shape bucket
                     temperature = float(body.get("temperature", 0.0))
                     if temperature > 0.0:
-                        if not isinstance(outer.batcher, ContinuousBatchingEngine):
-                            self._respond(400, {"error": (
-                                "sampling (temperature>0) requires the "
-                                "continuous scheduler; this server runs "
-                                "request-level batching"
-                            )})
-                            return
                         top_p = float(body.get("top_p", 1.0))
                         if not (0.0 < top_p <= 1.0):
                             self._respond(

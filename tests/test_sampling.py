@@ -212,7 +212,11 @@ def test_http_sampling_seeded_and_rejected():
         srv.shutdown()
 
 
-def test_http_sampling_rejected_on_request_level_scheduler():
+def test_http_sampling_on_request_level_scheduler():
+    """The request-level batcher supports per-request sampling too: the
+    params are traced rows of the one-shot generate program
+    (infer/generate.py::greedy_generate sampling=...), so a mixed
+    greedy/sampling batch shares one compiled program."""
     import http.client
 
     from llm_speech_summarization_tpu.serve.server import SummarizationServer
@@ -221,13 +225,60 @@ def test_http_sampling_rejected_on_request_level_scheduler():
     srv = SummarizationServer(eng, host="127.0.0.1", port=0, continuous=False)
     srv.start_background()
     try:
-        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=300)
-        conn.request("POST", "/v1/text_response",
-                     json.dumps({"text": "x", "temperature": 0.7}),
-                     {"Content-Type": "application/json"})
-        resp = conn.getresponse()
-        out = json.loads(resp.read())
-        conn.close()
-        assert resp.status == 400 and "continuous" in out["error"]
+        def post(body):
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                              timeout=300)
+            conn.request("POST", "/v1/text_response", json.dumps(body),
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            out = json.loads(resp.read())
+            conn.close()
+            return resp.status, out
+
+        body = {"text": "sample me", "max_new_tokens": 12,
+                "temperature": 1.3, "seed": 99}
+        s1, r1 = post(body)
+        s2, r2 = post(body)
+        assert s1 == s2 == 200
+        assert r1["response"] == r2["response"]  # seeded → reproducible
+        s3, r3 = post({"text": "sample me", "max_new_tokens": 12,
+                       "temperature": 1.3, "seed": 4})
+        assert s3 == 200 and r3["response"] != r1["response"]
     finally:
         srv.shutdown()
+
+
+# ------------------------------------------------- one-shot engine path
+
+
+def test_engine_batch_sampling_mixed_greedy_parity(engine):
+    """generate_text_response_batch(sampling=...): greedy rows inside a
+    mixed batch are identical to the all-greedy call; seeded sampled rows
+    reproduce across calls and diverge across seeds."""
+    texts = ["the cat sat", "a long story begins", "hello there"]
+    base = engine.generate_text_response_batch(texts, max_new_tokens=12)
+    sampling = [None, (1.1, 0, 1.0, 5), (1.8, 16, 0.9, 6)]
+    got1 = engine.generate_text_response_batch(
+        texts, max_new_tokens=12, sampling=sampling
+    )
+    got2 = engine.generate_text_response_batch(
+        texts, max_new_tokens=12, sampling=sampling
+    )
+    assert got1[0] == base[0]  # greedy row unaffected by co-batched samplers
+    assert got1 == got2  # seeded → reproducible
+    other = engine.generate_text_response_batch(
+        texts, max_new_tokens=12,
+        sampling=[None, (1.1, 0, 1.0, 500), (1.8, 16, 0.9, 600)],
+    )
+    assert (other[1], other[2]) != (got1[1], got1[2])
+
+
+def test_engine_all_none_sampling_is_plain_greedy(engine):
+    """sampling=[None, ...] must take the exact greedy path (same program,
+    same tokens) as sampling=None."""
+    texts = ["check the fast path"]
+    a = engine.generate_text_response_batch(texts, max_new_tokens=10)
+    b = engine.generate_text_response_batch(
+        texts, max_new_tokens=10, sampling=[None]
+    )
+    assert a == b
