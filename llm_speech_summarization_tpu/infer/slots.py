@@ -135,6 +135,7 @@ class SlotDecoder:
             )
         self._admit_fns = {}
         self._chunk_fns = {}
+        self._cancel_fn = None
 
     def _jit_state_fn(self, fn, extra_out: bool = False):
         """jit with state donation; on a mesh, pin the output SlotState to
@@ -385,6 +386,47 @@ class SlotDecoder:
         if done is None:
             done = np.asarray(self.state.done)
         return int(np.sum(~done))
+
+    def cancel(self, slot_ids: List[int]) -> None:
+        """Release ``slot_ids`` immediately (client disconnected / deadline
+        passed): mark them done with NO pending output (budgets→0, so
+        harvest skips them and free_slots offers them for re-admission)
+        and, when paged, return their pages to the pool right away. One
+        tiny jitted scatter. Safe at any chunk boundary: an in-flight
+        decode chunk treats the rows as done-row no-ops, and a stale flag
+        read that still shows them live harvests into a popped request
+        (the scheduler's staleness guard / req-is-None path,
+        serve/server.py::_loop)."""
+        if not slot_ids:
+            return
+        n = 1
+        while n < len(slot_ids):  # pad to pow2: one compile per size class
+            n *= 2
+        ids = list(slot_ids) + [self.n_slots] * (n - len(slot_ids))
+        if self._cancel_fn is None:
+            @self._jit_state_fn
+            def fn(params, state: SlotState, ids):
+                return state._replace(
+                    done=state.done.at[ids].set(True, mode="drop"),
+                    budgets=state.budgets.at[ids].set(0, mode="drop"),
+                )
+
+            self._cancel_fn = fn
+        jids = jnp.asarray(ids, jnp.int32)
+        self.state = self._cancel_fn(self.params, self.state, jids)
+        if self.paged:
+            # same lifecycle as harvest: free the host-mirror pages AND
+            # zero the device table rows (done rows keep writing their last
+            # K/V each chunk; a stale entry would corrupt re-allocated
+            # pages — see harvest()).
+            self._free_rows(list(slot_ids))
+            self.state = self.state._replace(
+                cache=self.state.cache._replace(
+                    page_table=self.state.cache.page_table.at[
+                        jnp.asarray(list(slot_ids))
+                    ].set(0)
+                )
+            )
 
     # ------------------------------------------------------------------
 

@@ -51,6 +51,10 @@ class _Request:
     partials: "queue.Queue" = field(default_factory=queue.Queue)
     _sent: int = 0  # chars already streamed
     _admit_iter: int = -1  # scheduler iteration the request was admitted at
+    # set when the requester gives up (submit timeout, streaming client
+    # disconnect): the continuous scheduler releases the slot at the next
+    # chunk boundary instead of decoding the rest of the budget for nobody
+    cancelled: threading.Event = field(default_factory=threading.Event)
     # per-request sampling (either scheduler; infer/sampling.py):
     # temperature 0 = greedy; seed makes the draw reproducible
     temperature: float = 0.0
@@ -225,6 +229,10 @@ class ContinuousBatchingEngine:
     def submit(self, req: _Request, timeout: float = 300.0) -> str:
         self._queue.put(req)
         if not req.event.wait(timeout):
+            # nobody will read the result: release the request's slot at
+            # the next chunk boundary (SlotDecoder.cancel) so the decode
+            # capacity goes to live requests instead of a dead budget
+            req.cancelled.set()
             raise TimeoutError("generation timed out")
         if req.error:
             raise RuntimeError(req.error)
@@ -302,6 +310,11 @@ class ContinuousBatchingEngine:
             # old behavior) truncated responses with no indication
             ok = []
             for r in pending:
+                if r.cancelled.is_set():
+                    # requester already gave up while queued (submit
+                    # timeout / disconnect): don't build or admit it
+                    r.event.set()
+                    continue
                 if r.max_new_tokens < 1 or r.max_new_tokens > self.decoder.max_new:
                     # <1 would admit a budget-0 slot that is done but never
                     # harvested (harvest requires budgets>0) — a permanent
@@ -443,10 +456,26 @@ class ContinuousBatchingEngine:
         flags = None  # host mirror the scheduler acts on
         pending = None  # (device fused block, dispatch iteration) — unread
         self._iter = 0
+        self._cancelled_at: Dict[int, int] = {}  # slot → iter it was cancelled
         while not self._stop.is_set():
             self._iter += 1
             if flags is None:
                 flags = self.decoder.sync_flags()
+            # release cancelled requests' slots BEFORE admission so freed
+            # slots (and, paged, their pages) are reusable this iteration
+            dead = [
+                s for s, r in self._by_slot.items() if r.cancelled.is_set()
+            ]
+            if dead:
+                self.decoder.cancel(dead)
+                for s in dead:
+                    r = self._by_slot.pop(s)
+                    self._cancelled_at[s] = self._iter
+                    flags[0][s] = True  # mirror: free + nothing to harvest
+                    flags[1][s] = 0
+                    if r.stream:
+                        r.partials.put(None)
+                    r.event.set()
             self._admit_wave(flags)
             if self._by_slot:
                 k = self._pick_chunk(flags)
@@ -479,6 +508,17 @@ class ContinuousBatchingEngine:
                     if r._admit_iter > dispatch_iter:
                         actual[1][s] = 0  # budgets=0 → harvest skips it
                         actual[0][s] = True  # and emit treats it as absent
+                # same guard for CANCELLED slots: a chunk dispatched before
+                # the cancel still shows the dead request ready — harvesting
+                # it would double-free its pages and hand tokens to nobody.
+                # A read dispatched at/after the cancel reflects budget=0,
+                # so the entry can be dropped then.
+                for s, it in list(self._cancelled_at.items()):
+                    if it > dispatch_iter:
+                        actual[1][s] = 0
+                        actual[0][s] = True
+                    else:
+                        del self._cancelled_at[s]
                 self._emit_partials(actual)
                 for slot, tokens, n in self.decoder.harvest(actual):
                     req = self._by_slot.pop(slot, None)
@@ -650,7 +690,9 @@ class SummarizationServer:
                     self.wfile.write(b"0\r\n\r\n")
                     self.wfile.flush()
                 except (BrokenPipeError, ConnectionResetError):
-                    pass  # client went away mid-stream
+                    # client went away mid-stream: release the slot at the
+                    # next chunk boundary instead of decoding for nobody
+                    req.cancelled.set()
                 except Exception as e:  # noqa: BLE001
                     try:
                         write({"error": f"{type(e).__name__}: {e}"})

@@ -236,6 +236,102 @@ def test_continuous_audio_requests(engine):
         cb.shutdown()
 
 
+def test_cancel_releases_slot_and_discards_output(engine):
+    """SlotDecoder.cancel: the cancelled row frees immediately with NO
+    pending output, co-batched rows are untouched, and the slot is safely
+    re-admissible (cache isolation survives the cancel)."""
+    texts = ["cancel me please", "but keep decoding this one"]
+    embeds, mask = engine.build_text_prompt_batch(texts)
+    want1 = engine.generate_text_response_batch([texts[1]], max_new_tokens=12)[0]
+
+    dec = SlotDecoder(
+        engine.llm_params, engine.llm_cfg, eos_id=engine.tokenizer.eos_id,
+        n_slots=4, max_prompt_len=256, max_new_tokens=16,
+        cache_dtype=engine.cache_dtype,
+    )
+    dec.admit(embeds[:2], mask[:2], [0, 1], [12, 12])
+    dec.decode_chunk(4)  # both mid-flight
+    dec.cancel([0])
+    assert 0 in dec.free_slots()  # immediately reusable
+    _drain(dec)
+    got = dec.harvest()
+    assert [s for s, _, _ in got] == [1]  # cancelled row never harvests
+    tokens = got[0][1][: min(got[0][2], 12)]
+    assert engine.tokenizer.decode(
+        tokens.tolist(), skip_special_tokens=True
+    ) == want1
+
+    # the freed slot serves a NEW request correctly
+    texts2 = ["a fresh request in the recycled slot"]
+    want2 = engine.generate_text_response_batch(texts2, max_new_tokens=8)[0]
+    e2, m2 = engine.build_text_prompt_batch(texts2)
+    dec.admit(e2[:1], m2[:1], [0], [8])
+    _drain(dec)
+    got2 = dec.harvest()
+    assert [s for s, _, _ in got2] == [0]
+    assert engine.tokenizer.decode(
+        got2[0][1][: min(got2[0][2], 8)].tolist(), skip_special_tokens=True
+    ) == want2
+
+
+def test_cancel_paged_returns_pages(engine):
+    """Paged decoder: cancel returns the row's whole reservation to the
+    pool right away (not at slot reuse), so a waiting wave can admit."""
+    texts = ["paged cancel target", "paged survivor row"]
+    embeds, mask = engine.build_text_prompt_batch(texts)
+    want1 = engine.generate_text_response_batch([texts[1]], max_new_tokens=8)[0]
+
+    dec = SlotDecoder(
+        engine.llm_params, engine.llm_cfg, eos_id=engine.tokenizer.eos_id,
+        n_slots=4, max_prompt_len=256, max_new_tokens=16,
+        cache_dtype=engine.cache_dtype, paged=True, page_size=64,
+    )
+    free0 = dec.allocator.free_pages
+    dec.admit(embeds[:2], mask[:2], [0, 1], [8, 8])
+    taken = free0 - dec.allocator.free_pages
+    assert taken > 0
+    dec.decode_chunk(2)
+    dec.cancel([0])
+    # slot 0's full reservation came back; slot 1 still holds its pages
+    held1 = int(np.count_nonzero(dec._host_table[1]))
+    assert dec.allocator.free_pages == free0 - held1
+    assert np.count_nonzero(dec._host_table[0]) == 0
+    _drain(dec)
+    got = dec.harvest()
+    assert [s for s, _, _ in got] == [1]
+    assert engine.tokenizer.decode(
+        got[0][1][: min(got[0][2], 8)].tolist(), skip_special_tokens=True
+    ) == want1
+    assert dec.allocator.free_pages == free0  # everything back after harvest
+
+
+def test_submit_timeout_cancels_and_frees_slot(engine):
+    """Scheduler-level: a request whose submitter times out (or whose
+    streaming client disconnects — same flag) is cancelled at the next
+    chunk boundary; its slot serves later requests and nothing leaks."""
+    cb = ContinuousBatchingEngine(
+        engine, n_slots=1, chunk_steps=2, max_prompt_len=256,
+        max_new_tokens=256, max_admit=1, admit_wait_ms=5.0,
+    )
+    try:
+        long_req = _Request("text", "an epic poem about the sea", "", 256)
+        with pytest.raises(TimeoutError):
+            cb.submit(long_req, timeout=0.05)
+        assert long_req.cancelled.is_set()
+
+        # the single slot must come back for the next request
+        want = engine.generate_text_response_batch(["hello there"],
+                                                   max_new_tokens=6)[0]
+        got = cb.submit(_Request("text", "hello there", "", 6), timeout=120)
+        assert got == want
+        deadline = time.monotonic() + 10
+        while cb._by_slot and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert not cb._by_slot  # no leaked slots
+    finally:
+        cb.shutdown()
+
+
 def test_slot_decoder_int8_cache_donation():
     """int8 slot caches must survive donating jitted calls — round 2's
     init_kv_cache aliased ONE zeros buffer as both k_scale and v_scale,
