@@ -76,6 +76,7 @@ def fused_ntp_ld_losses(
     loss_mask: jnp.ndarray,
     response_mask: jnp.ndarray,
     vocab_chunk: int = 8192,
+    head_scale: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """NTP + logit-distillation losses WITHOUT materializing (B, W, V) logits.
 
@@ -90,7 +91,10 @@ def fused_ntp_ld_losses(
     response window (teacher is stop-gradient'd internally).
     head_vd: (V, D) lm-head matrix in VOCAB-MAJOR layout (the embedding
     table itself for tied weights — row slices are contiguous, so no
-    transposed copy of the 128k-row table is ever materialized).
+    transposed copy of the 128k-row table is ever materialized). May be
+    weight-only int8 (models/llama.py::quantize_llama_params) with its
+    per-vocab-row ``head_scale`` (V,): each chunk dequantizes in the
+    chunk matmul, so no bf16 copy of the 128k-row head ever exists.
     labels/loss_mask/response_mask: (B, W) as in the unfused losses.
 
     Returns (ntp_loss, ld_loss) matching response_cross_entropy /
@@ -101,6 +105,7 @@ def fused_ntp_ld_losses(
     n_chunks = (V + vocab_chunk - 1) // vocab_chunk
     Vp = n_chunks * vocab_chunk
     head_p = jnp.pad(head_vd, ((0, Vp - V), (0, 0)))
+    scale_p = None if head_scale is None else jnp.pad(head_scale, (0, Vp - V))
     sh = student_hidden.reshape(B * W, D)
     th = jax.lax.stop_gradient(teacher_hidden.reshape(B * W, D))
     labels_f = labels.reshape(B * W)
@@ -113,6 +118,9 @@ def fused_ntp_ld_losses(
         logits = jnp.einsum(
             "nd,vd->nv", h, w.astype(h.dtype), preferred_element_type=jnp.float32
         )
+        if scale_p is not None:  # int8 head: per-vocab-row dequant scale
+            s = jax.lax.dynamic_slice(scale_p, (c * vocab_chunk,), (vocab_chunk,))
+            logits = logits * s.astype(jnp.float32)[None, :]
         # mask padded vocab tail
         v_idx = c * vocab_chunk + jnp.arange(vocab_chunk)
         return jnp.where(v_idx[None, :] < V, logits, neg)

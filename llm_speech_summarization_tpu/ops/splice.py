@@ -46,10 +46,14 @@ def splice_sequences(
     response_ids: Optional[jnp.ndarray] = None,
     response_lens: Optional[jnp.ndarray] = None,
     total_len: Optional[int] = None,
+    table_scale: Optional[jnp.ndarray] = None,
 ) -> SplicedBatch:
     """Assemble left-padded [prefix | mid | suffix | response] batches.
 
-    embedding_table: (V, D) LLM token-embedding matrix.
+    embedding_table: (V, D) LLM token-embedding matrix. May be weight-only
+        int8 (models/llama.py::quantize_llama_params) — pass its per-row
+        ``table_scale`` (V,) and the dequant happens AFTER the (B, L)
+        gather, so the full bf16 table is never materialized.
     prefix_ids:  (P,) int32 — template prefix, WITH leading BOS.
     suffix_ids:  (S,) int32 — template suffix, BOS already stripped.
     mid_embeds:  (B, M, D) — right-padded continuous embeddings.
@@ -99,6 +103,8 @@ def splice_sequences(
         token_ids = jnp.where(in_resp, resp_tok, token_ids)
 
     tok_embeds = embedding_table[token_ids].astype(dtype)  # (B, L, D)
+    if table_scale is not None:
+        tok_embeds = tok_embeds * table_scale[token_ids][..., None].astype(dtype)
 
     # Mid plane: gather from the padded mid buffer.
     mid_idx = jnp.clip(u - P, 0, M - 1)  # (B, L)

@@ -41,6 +41,26 @@ from ..data.batch import Batch
 from .state import TrainState
 
 
+def _embed_table(llm_params, compute_dtype):
+    """(table, scale) for splicing. With a weight-only int8 frozen LLM
+    (``model.llm_weight_dtype: int8`` — halves the dominant 6.4 GB weight
+    stream AND frees the HBM headroom the ``save_qkv`` remat policy needs
+    on one chip) the int8 rows pass through and splice_sequences dequants
+    AFTER its (B, L) gather, so no bf16 copy of the 128k-row table is ever
+    materialized inside the step."""
+    emb = llm_params["embed_tokens"]
+    if emb.dtype == jnp.int8:
+        return emb, llm_params["embed_tokens_scale"]
+    return emb.astype(compute_dtype), None
+
+
+def _embed_rows(table, table_scale, ids, compute_dtype):
+    rows = table[ids].astype(compute_dtype)
+    if table_scale is not None:
+        rows = rows * table_scale[ids][..., None].astype(compute_dtype)
+    return rows
+
+
 def _forward_losses(
     enc_params,
     llm_params,
@@ -58,7 +78,7 @@ def _forward_losses(
 ):
     tcfg = cfg.train
     compute_dtype = jnp.dtype(cfg.model.compute_dtype)
-    table = llm_params["embed_tokens"].astype(compute_dtype)
+    table, table_scale = _embed_table(llm_params, compute_dtype)
 
     # --- student: audio path (reference: trainer.py:277-322). With
     # train.encoder_sp the encoder frames shard over the ring's "seq" axis
@@ -78,6 +98,7 @@ def _forward_losses(
     student = splice_sequences(
         table, prefix_ids, suffix_ids, audio_embeds, emb_lens,
         batch.response_ids, batch.response_lens, total_len=total_len,
+        table_scale=table_scale,
     )
 
     need_teacher = tcfg.use_ld_loss or tcfg.use_fd_loss
@@ -94,10 +115,11 @@ def _forward_losses(
         # --- teacher: text path (reference: trainer.py:337-344). Token ids
         # are already BOS-stripped by the data layer (the reference strips
         # at collate, trainer.py:155-156).
-        text_embeds = table[batch.text_ids]
+        text_embeds = _embed_rows(table, table_scale, batch.text_ids, compute_dtype)
         teacher = splice_sequences(
             table, prefix_ids, suffix_ids, text_embeds, batch.text_lens,
             batch.response_ids, batch.response_lens, total_len=total_len,
+            table_scale=table_scale,
         )
         # TWO forwards, not one stacked (2B, L): the teacher depends only on
         # the frozen llm_params, so keeping it in a separate program means
@@ -124,11 +146,12 @@ def _forward_losses(
             logit_window=W, remat=False,
             ring_mesh=ring_mesh, ring_axis=ring_axis,
         )
-        head_vd = (
-            llm_params["embed_tokens"]
-            if llm_cfg.tie_embeddings
-            else llm_params["lm_head"].T
-        )
+        if llm_cfg.tie_embeddings:
+            head_vd = llm_params["embed_tokens"]
+            head_scale = llm_params.get("embed_tokens_scale")
+        else:
+            head_vd = llm_params["lm_head"].T
+            head_scale = llm_params.get("lm_head_scale")
         ntp, ld = fused_ntp_ld_losses(
             out.final_hidden,
             t_out.final_hidden,
@@ -136,6 +159,7 @@ def _forward_losses(
             student.labels[:, -W:],
             student.loss_mask[:, -W:],
             student.response_mask[:, -W:],
+            head_scale=head_scale if head_vd.dtype == jnp.int8 else None,
         )
         if tcfg.use_fd_loss:
             s_hidden = out.hidden_states
@@ -236,7 +260,7 @@ def make_eval_step(
 
     def eval_fn(enc_params, llm_params, batch: Batch):
         compute_dtype = jnp.dtype(cfg.model.compute_dtype)
-        table = llm_params["embed_tokens"].astype(compute_dtype)
+        table, table_scale = _embed_table(llm_params, compute_dtype)
         enc_sp = {"sp_mesh": ring_mesh, "sp_axis": ring_axis} if (
             cfg.train.encoder_sp and ring_mesh is not None
         ) else {}
@@ -247,11 +271,13 @@ def make_eval_step(
         student = splice_sequences(
             table, prefix_ids, suffix_ids, audio_embeds, emb_lens,
             batch.response_ids, batch.response_lens, total_len=total_len,
+            table_scale=table_scale,
         )
-        text_embeds = table[batch.text_ids]
+        text_embeds = _embed_rows(table, table_scale, batch.text_ids, compute_dtype)
         teacher = splice_sequences(
             table, prefix_ids, suffix_ids, text_embeds, batch.text_lens,
             batch.response_ids, batch.response_lens, total_len=total_len,
+            table_scale=table_scale,
         )
         embeds = jnp.concatenate([student.embeds, teacher.embeds], axis=0)
         masks = jnp.concatenate([student.attn_mask, teacher.attn_mask], axis=0)

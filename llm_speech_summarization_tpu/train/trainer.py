@@ -84,6 +84,18 @@ class Trainer:
                 os.path.abspath(config.model.llm_checkpoint),
                 {"llm_params": self.llm_params},
             )["llm_params"]
+        if config.model.llm_weight_dtype == "int8":
+            # weight-only int8 for the FROZEN llm in training too (the
+            # serving path has had it since round 2): gradients never touch
+            # llm weights, so quantization only perturbs the (already
+            # approximate) teacher/student logits (~1% on the serving
+            # measurement, PERF.md) while halving the 6.4 GB weight stream
+            # read 4× per step (2 forwards + remat recompute + dx backward)
+            # — and freeing the HBM headroom that made remat_policy
+            # save_qkv OOM on one chip (PERF.md "Selective remat").
+            from ..models.llama import quantize_llama_params
+
+            self.llm_params = quantize_llama_params(self.llm_params)
         self.enc_setup = encoder_setup_from_config(config)
         enc_params = init_audio_encoder(k_enc, self.enc_setup, dtype=jnp.float32)
 

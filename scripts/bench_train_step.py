@@ -44,6 +44,10 @@ def main():
     llm_cfg = llama_preset(cfg.model.llm_preset or cfg.model.llm_type)
     enc_setup = encoder_setup_from_config(cfg)
     llm_params = init_llama_params(jax.random.PRNGKey(0), llm_cfg, dtype=jnp.bfloat16)
+    if "--int8" in sys.argv:  # weight-only int8 frozen LLM (train path)
+        from llm_speech_summarization_tpu.models.llama import quantize_llama_params
+
+        llm_params = quantize_llama_params(llm_params)
     enc_params = init_audio_encoder(jax.random.PRNGKey(1), enc_setup, dtype=jnp.float32)
 
     tok = ByteTokenizer()
