@@ -36,8 +36,10 @@ def main(argv=None):
     parser.add_argument("--max_new_tokens", type=int, default=256,
                         help="continuous scheduler: per-request token budget cap")
     parser.add_argument("--speculative_k", type=int, default=0,
-                        help="engine-level self-speculative decoding lookahead "
-                        "(greedy requests; 0 = off)")
+                        help="self-speculative decoding lookahead (greedy "
+                        "requests; 0 = off). Drives the engine's one-shot "
+                        "path AND the continuous scheduler's speculative "
+                        "decode chunks (infer/slots.py spec_k)")
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel degree: shard the frozen LLM "
                         "over a 'model' mesh axis of this size (e.g. --tp 8 "
@@ -68,6 +70,7 @@ def main(argv=None):
             paged=args.paged,
             n_slots=args.slots,
             max_new_tokens=args.max_new_tokens,
+            spec_k=args.speculative_k,
         ),
         audio_encoder_checkpoint=args.audio_encoder_checkpoint,
         repetition_penalty=args.repetition_penalty,

@@ -79,6 +79,7 @@ class SlotDecoder:
         num_pages: Optional[int] = None,
         repetition_penalty: float = 1.0,
         mesh=None,
+        spec_k: int = 0,
     ):
         self.params = llm_params
         self.cfg = cfg
@@ -93,8 +94,32 @@ class SlotDecoder:
         # serving-side mirror of infer/generate.py's knob (the reference's
         # documented greedy-repetition failure, inference.py:169-171)
         self.repetition_penalty = repetition_penalty
+        # spec_k > 0 enables SPECULATIVE decode chunks (decode_chunk(...,
+        # spec=True)): each round drafts spec_k tokens from the row's own
+        # output history (infer/generate.py::_ngram_propose) and verifies
+        # them in ONE (spec_k+1)-token forward at the row's cache offset —
+        # decode is weight-stream bound, so the verification forward costs
+        # ~one step and each round commits 1+accepted tokens. Token-exact
+        # vs plain greedy under matched precision; the scheduler only uses
+        # spec chunks for all-greedy batches (serve/server.py).
+        self.spec_k = spec_k
+        if spec_k > 0 and paged:
+            raise ValueError(
+                "speculative decode chunks need the dense slot cache "
+                "(rejected-tail overwrite relies on per-row dense offsets)"
+            )
+        if spec_k > 0 and repetition_penalty != 1.0:
+            raise ValueError(
+                "speculative decode chunks verify exact greedy streams; "
+                "repetition_penalty is incompatible (same contract as the "
+                "engine's speculative_k)"
+            )
+        self.max_prompt_len = max_prompt_len
         self.max_new = max_new_tokens
-        self.max_len = max_prompt_len + max_new_tokens
+        # + spec headroom: a verification round writes its spec_k+1 fresh
+        # K/V at the row's offset BEFORE knowing how many commit, so the
+        # last round of a budget-exhausting row can touch offset+spec_k
+        self.max_len = max_prompt_len + max_new_tokens + (spec_k + 1 if spec_k else 0)
         # paged mode (infer/paged.py): ceil(len/page_size) pages per row
         # instead of max_len reserved per slot; bf16 or int8 pools (int8
         # halves pool bytes — the dense cache stays the latency champion,
@@ -220,12 +245,16 @@ class SlotDecoder:
         # seed), ...] — None / temperature<=0 rows decode greedily
     ) -> None:
         n, T, _ = embeds.shape
-        if T + self.max_new > self.max_len:
+        if T > self.max_prompt_len:
             # a real request-contract error (not an assert: must survive -O
-            # and produce an actionable message at the serving layer)
+            # and produce an actionable message at the serving layer).
+            # Checked against max_prompt_len itself, NOT max_len - max_new:
+            # with spec_k the cache carries verification headroom that must
+            # never be eaten by a longer prompt (a spec round writes
+            # spec_k+1 fresh K/V before knowing how many commit).
             raise ValueError(
                 f"prompt bucket {T} exceeds the decoder's max_prompt_len "
-                f"{self.max_len - self.max_new}; raise max_prompt_len when "
+                f"{self.max_prompt_len}; raise max_prompt_len when "
                 f"building the server/decoder"
             )
         # pad the wave to a power-of-two batch: admission compiles one XLA
@@ -312,18 +341,29 @@ class SlotDecoder:
             self._host_table[s] = 0
 
     def decode_chunk(self, k_steps: int = 8, return_flags: bool = False,
-                     sync: bool = True):
+                     sync: bool = True, spec: bool = False):
         """Advance all live slots up to ``k_steps`` (early-exiting when every
         slot is idle). Paged capacity is fully reserved at admission
         (prompt + budget), so chunks never allocate — no mid-decode OOM by
         construction.
+
+        ``spec=True`` (requires ``spec_k > 0``): each of the k_steps is a
+        SPECULATIVE round — n-gram draft from the row's output history +
+        one (spec_k+1)-token verification forward — committing 1+accepted
+        tokens per round per live row. Greedy-only: the scheduler uses it
+        when no sampling request is live (serve/server.py).
 
         ``return_flags=True``: the (done, budgets, n_emitted, tokens) state
         comes back as an OUTPUT of the same program in ONE device→host
         transfer — the scheduler loop then costs dispatch + one read per
         chunk instead of dispatch + a separate flag-stack program + token
         gathers (each host read is a ~100-200 ms RPC on remote backends)."""
-        self.state, fused = self._chunk_fn(k_steps)(self.params, self.state)
+        fn = (
+            self._spec_chunk_fn(k_steps)
+            if spec and self.spec_k > 0
+            else self._chunk_fn(k_steps)
+        )
+        self.state, fused = fn(self.params, self.state)
         if not return_flags:
             return None
         if not sync:
@@ -687,3 +727,114 @@ class SlotDecoder:
 
             self._chunk_fns[k_steps] = fn
         return self._chunk_fns[k_steps]
+
+    def _spec_chunk_fn(self, k_steps: int):
+        """Speculative decode chunk: ``k_steps`` ROUNDS (not tokens) of
+        n-gram draft + one (spec_k+1)-token verification forward per round
+        (infer/generate.py::speculative_generate is the one-shot sibling;
+        reference decode loop: inference.py:55-74 has no such path).
+
+        Slot-cache adaptation: unlike the engine path's uniform scalar
+        offset + validity bitmask, every row writes its spec_k+1 fresh K/V
+        at ITS OWN dense offset and advances the offset by the number of
+        tokens it committed — the next round simply overwrites the rejected
+        tail (slots outside [pad, offset) are never attended). That is why
+        spec chunks require the dense slot cache: a paged row cannot re-use
+        rejected-tail slots without freeing partial pages."""
+        key = ("spec", k_steps)
+        if key not in self._chunk_fns:
+            cfg, eos = self.cfg, self.eos_id
+            N = self.n_slots
+            K = self.spec_k
+            from .generate import _ngram_propose
+
+            @functools.partial(self._jit_state_fn, extra_out=True)
+            def fn(params, state: SlotState):
+                def round_(_, s: SlotState):
+                    draft = _ngram_propose(s.tokens, s.n_emitted, s.last_token, K)
+                    seq = jnp.concatenate([s.last_token[:, None], draft], axis=1)
+                    positions = (s.offsets - s.pad_lens)[:, None] + jnp.arange(
+                        K + 1, dtype=jnp.int32
+                    )[None, :]
+                    out = llama_forward(
+                        params, cfg,
+                        input_ids=seq,
+                        attn_mask=jnp.ones((N, K + 1), bool),
+                        positions=positions,
+                        kv_cache=s.cache,
+                        cache_offset=s.offsets,  # per-row depths
+                        kv_pad_lens=s.pad_lens,
+                    )
+                    preds = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
+                    # longest agreeing draft prefix; +1 bonus always commits
+                    agree = jnp.cumprod(
+                        (preds[:, :-1] == draft).astype(jnp.int32), axis=1
+                    )
+                    a = jnp.sum(agree, axis=1)  # (N,) accepted draft tokens
+                    j = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+                    commit = j <= a[:, None]
+                    # the first committed EOS commits; nothing after it does
+                    is_eos = (preds == eos).astype(jnp.int32)
+                    commit = commit & (jnp.cumsum(is_eos, axis=1) - is_eos == 0)
+                    live = (~s.done)[:, None]
+                    budget_ok = (s.n_emitted[:, None] + j) < s.budgets[:, None]
+                    commit = commit & live & budget_ok
+                    dest = jnp.clip(
+                        s.n_emitted[:, None] + j, 0, s.tokens.shape[1] - 1
+                    )
+                    tokens = jax.lax.fori_loop(
+                        0, K + 1,
+                        lambda i, tk: tk.at[jnp.arange(N), dest[:, i]].set(
+                            jnp.where(
+                                commit[:, i], preds[:, i],
+                                tk[jnp.arange(N), dest[:, i]],
+                            )
+                        ),
+                        s.tokens,
+                    )
+                    n_add = jnp.sum(commit.astype(jnp.int32), axis=1)  # ≥1 live
+                    n_emitted = s.n_emitted + n_add
+                    last_new = jnp.take_along_axis(
+                        preds, jnp.maximum(n_add - 1, 0)[:, None], axis=1
+                    )[:, 0]
+                    last = jnp.where(s.done | (n_add == 0), s.last_token, last_new)
+                    done = (
+                        s.done
+                        | jnp.any((preds == eos) & commit, axis=1)
+                        | (n_emitted >= s.budgets)
+                    )
+                    # advancing by n_add keeps exactly the CONSUMED fed
+                    # slots ([last, accepted drafts…]) inside the valid
+                    # window; the rejected tail is overwritten next round
+                    offsets = s.offsets + n_add
+                    return s._replace(
+                        cache=out.kv_cache,
+                        offsets=offsets,
+                        last_token=last,
+                        done=done,
+                        tokens=tokens,
+                        n_emitted=n_emitted,
+                    )
+
+                def cond(carry):
+                    i, s = carry
+                    return (i < k_steps) & ~jnp.all(s.done)
+
+                def body(carry):
+                    i, s = carry
+                    return i + 1, round_(i, s)
+
+                _, new_state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+                fused = jnp.concatenate(
+                    [
+                        new_state.done.astype(jnp.int32)[:, None],
+                        new_state.budgets[:, None],
+                        new_state.n_emitted[:, None],
+                        new_state.tokens,
+                    ],
+                    axis=1,
+                )
+                return new_state, fused
+
+            self._chunk_fns[key] = fn
+        return self._chunk_fns[key]

@@ -322,7 +322,11 @@ def _block(
         # fused XLA decode over the cache in its native (B, Hkv, S, Dh)
         # layout: int8→bf16 converts (when quantized) fuse into the
         # matmuls — no materialized dequant, no [cache|fresh] concat, no
-        # per-layer kernel-launch overhead
+        # per-layer kernel-launch overhead. Handles T >= 1 fresh queries:
+        # T == 1 is the plain decode step; T == k+1 is the speculative
+        # VERIFICATION forward (infer/slots.py spec decode) — every query
+        # attends the row's cache window [pad, offset) plus the fresh
+        # tokens causally within the block.
         if len(cache_kv) == 4:
             k_cache, v_cache, k_scale, v_scale = cache_kv
         else:
@@ -330,37 +334,50 @@ def _block(
         pad_lens, offset = attn_args  # offset: (B,) — scalar pre-broadcast
         S = k_cache.shape[2]
         group = Hq // Hkv
-        qg = q.reshape(B, Hkv, group, Dh)  # T == 1
+        qg = q.reshape(B, T, Hkv, group, Dh)
         s_c = jnp.einsum(
-            "bhgd,bhsd->bhgs", qg, k_cache.astype(q.dtype),
+            "bthgd,bhsd->bthgs", qg, k_cache.astype(q.dtype),
             preferred_element_type=jnp.float32,
         )
         if k_scale is not None:
-            s_c = s_c * k_scale[:, :, None, :].astype(jnp.float32)
+            s_c = s_c * k_scale[:, None, :, None, :].astype(jnp.float32)
         s_c = s_c * (Dh ** -0.5)
         slot = jnp.arange(S, dtype=jnp.int32)
         valid = (slot[None, :] >= pad_lens[:, None]) & (slot[None, :] < offset[:, None])
-        s_c = jnp.where(valid[:, None, None, :], s_c, -1e30)
-        s_new = jnp.einsum(
-            "bhgd,bhd->bhg", qg, k[:, 0], preferred_element_type=jnp.float32
-        )[..., None] * (Dh ** -0.5)  # (B, Hkv, group, 1)
-        m = jnp.maximum(jnp.max(s_c, axis=-1, keepdims=True), s_new)
+        s_c = jnp.where(valid[:, None, None, None, :], s_c, -1e30)
+        # fresh keys: (B, T, Hkv, Dh); query t attends fresh key s iff s<=t
+        s_f = jnp.einsum(
+            "bthgd,bshd->bthgs", qg, k.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * (Dh ** -0.5)
+        causal = jnp.arange(T)[:, None] >= jnp.arange(T)[None, :]  # (Tq, Tk)
+        s_f = jnp.where(causal[None, :, None, None, :], s_f, -1e30)
+        m = jnp.maximum(
+            jnp.max(s_c, axis=-1, keepdims=True), jnp.max(s_f, axis=-1, keepdims=True)
+        )
         p_c = jnp.exp(s_c - m)
-        p_new = jnp.exp(s_new - m)
-        denom = jnp.sum(p_c, axis=-1, keepdims=True) + p_new
+        p_f = jnp.exp(s_f - m)
+        denom = jnp.sum(p_c, axis=-1, keepdims=True) + jnp.sum(
+            p_f, axis=-1, keepdims=True
+        )
         p_eff = (
-            p_c * v_scale[:, :, None, :].astype(jnp.float32)
+            p_c * v_scale[:, None, :, None, :].astype(jnp.float32)
             if v_scale is not None
             else p_c
         )
         pv = jnp.einsum(
-            "bhgs,bhsd->bhgd",
+            "bthgs,bhsd->bthgd",
             p_eff.astype(q.dtype),
             v_cache.astype(q.dtype),
             preferred_element_type=jnp.float32,
         )
-        pv = pv + p_new * v[:, 0][:, :, None, :].astype(jnp.float32)
-        attn = (pv / denom).reshape(B, 1, Hq, Dh).astype(q.dtype)
+        pv = pv + jnp.einsum(
+            "bthgs,bshd->bthgd",
+            p_f.astype(q.dtype),
+            v.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        attn = (pv / denom).reshape(B, T, Hq, Dh).astype(q.dtype)
     else:
         raise ValueError(f"unknown attn kind {attn_kind}")
 
@@ -520,9 +537,10 @@ def llama_forward(
         if attn_impl == "pallas" and pallas_decode_ok:
             attn_kind = "decode_pallas"
             attn_args = (kv_pad_lens.astype(jnp.int32), cache_offset)
-        elif kv_pad_lens is not None and T == 1:
+        elif kv_pad_lens is not None:
             # fused native-layout decode for both bf16 and int8 caches;
-            # handles scalar or per-row offsets
+            # handles scalar or per-row offsets, and T > 1 fresh queries
+            # (speculative verification forwards, infer/slots.py)
             attn_kind = "decode_xla_q"
             attn_args = (
                 kv_pad_lens.astype(jnp.int32),

@@ -187,6 +187,7 @@ class ContinuousBatchingEngine:
         paged: bool = False,
         max_chunk_steps: int = 64,
         num_pages: Optional[int] = None,
+        spec_k: int = 0,
     ):
         import jax.numpy as jnp
 
@@ -213,6 +214,10 @@ class ContinuousBatchingEngine:
             mesh=getattr(engine, "mesh", None),  # TP serving rides the
             # engine's mesh: params are already sharded, the decoder shards
             # its cache state to match (parallel/sharding.py)
+            spec_k=spec_k,  # >0: all-greedy chunks run speculative rounds
+            # (draft + one (k+1)-token verification forward per round) —
+            # the scheduler falls back to plain chunks whenever a sampling
+            # request is live (_loop)
         )
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._prepared: "queue.Queue" = queue.Queue()
@@ -479,8 +484,17 @@ class ContinuousBatchingEngine:
             self._admit_wave(flags)
             if self._by_slot:
                 k = self._pick_chunk(flags)
+                # speculative chunks verify exact greedy streams — only
+                # when every live request is greedy (sampling rows need the
+                # per-token RNG path); each of the k rounds then commits
+                # 1+accepted tokens for ~one step's weight stream
+                spec = self.decoder.spec_k > 0 and all(
+                    r.sampling_tuple is None for r in self._by_slot.values()
+                )
                 dev = (
-                    self.decoder.decode_chunk(k, return_flags=True, sync=False),
+                    self.decoder.decode_chunk(
+                        k, return_flags=True, sync=False, spec=spec
+                    ),
                     self._iter,
                 )
                 self.batches_run += 1
@@ -619,7 +633,7 @@ class SummarizationServer:
                  continuous="auto", n_slots: int = 32,
                  chunk_steps: int = 16, max_new_tokens: int = 256,
                  max_prompt_len: int = 512, paged: bool = False,
-                 num_pages: Optional[int] = None):
+                 num_pages: Optional[int] = None, spec_k: int = 0):
         # "auto" picks the scheduler by MEASURED dispatch latency instead of
         # hardcoding the fast one for one backend class (VERDICT r2 weak #1):
         # sub-20 ms round-trips → continuous (decode-level batching, per-
@@ -639,7 +653,7 @@ class SummarizationServer:
                 engine, n_slots=n_slots, chunk_steps=chunk_steps,
                 max_admit=max_batch, max_new_tokens=max_new_tokens,
                 max_prompt_len=max_prompt_len, paged=paged,
-                num_pages=num_pages,
+                num_pages=num_pages, spec_k=spec_k,
             )
         else:
             self.batcher = BatchingEngine(engine, max_batch, max_wait_ms)
@@ -800,6 +814,7 @@ class SummarizationServer:
                 chunk_steps=b.chunk_steps,
                 max_chunk_steps=b.max_chunk_steps,
                 paged=b.decoder.paged,
+                spec_k=b.decoder.spec_k,
             )
             if b.decoder.paged:
                 out["free_pages"] = b.decoder.allocator.free_pages

@@ -38,6 +38,9 @@ def main():
     p.add_argument("--paged", action="store_true",
                    help="continuous mode with the paged KV cache")
     p.add_argument("--n-slots", type=int, default=64)
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="continuous mode: speculative decode chunks "
+                   "(infer/slots.py spec_k; greedy loads only)")
     args = p.parse_args()
 
     from llm_speech_summarization_tpu.configs import load_config
@@ -50,6 +53,7 @@ def main():
         engine, host="127.0.0.1", port=args.port,
         continuous=not args.request_level, n_slots=args.n_slots,
         max_new_tokens=args.long_tokens, paged=args.paged,
+        spec_k=args.spec_k,
     )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -112,6 +116,8 @@ def main():
     served = args.n - len(errs)
     mode = "request-level" if args.request_level else (
         "continuous-paged" if args.paged else "continuous")
+    if args.spec_k and not args.request_level:
+        mode += f"-spec{args.spec_k}"
     out = {
         "mode": mode,
         "served": served,

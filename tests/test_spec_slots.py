@@ -1,0 +1,184 @@
+"""Speculative decode chunks in the serving slot decoder (VERDICT r2 #10,
+serving side). Contract: spec chunks are an ACCELERATION of the plain
+greedy chunk path — identical tokens and counts for any mix of budgets,
+EOS timing, and mid-decode admission. (Reference decode loop:
+inference.py:55-74 — one token per forward, no speculative path.)"""
+
+import os
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_speech_summarization_tpu.infer.slots import SlotDecoder
+from llm_speech_summarization_tpu.models.llama import (
+    init_llama_params,
+    llama_preset,
+)
+
+TINY = llama_preset("tiny")
+TINY_YAML = os.path.join(
+    os.path.dirname(__file__), "..", "llm_speech_summarization_tpu", "configs",
+    "yaml", "tiny_test.yaml",
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_llama_params(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+
+
+def _prompts(params, seed=3, B=3, L=16, pads=(0, 5, 2)):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(1, TINY.vocab_size, (B, L))
+    mask = np.arange(L)[None, :] >= np.asarray(pads)[:, None]
+    emb = np.asarray(params["embed_tokens"])[ids] * mask[..., None]
+    return jnp.asarray(emb), jnp.asarray(mask)
+
+
+def _make(params, eos, spec_k=0, n_slots=4, max_new=24):
+    return SlotDecoder(
+        params, TINY, eos_id=eos, n_slots=n_slots, max_prompt_len=64,
+        max_new_tokens=max_new, cache_dtype=jnp.float32, spec_k=spec_k,
+    )
+
+
+def _drain(dec, spec, chunk=3, limit=40):
+    for _ in range(limit):
+        if dec.live_count() == 0:
+            break
+        dec.decode_chunk(chunk, spec=spec)
+
+
+def _run(dec, embeds, mask, slots, budgets, spec):
+    dec.admit(embeds, mask, list(slots), list(budgets))
+    _drain(dec, spec)
+    return {s: (t, n) for s, t, n in dec.harvest()}
+
+
+def _assert_same(got, want):
+    assert set(got) == set(want)
+    for s in want:
+        tw, nw = want[s]
+        tg, ng = got[s]
+        assert ng == nw, (s, ng, nw)
+        np.testing.assert_array_equal(tg[:ng], tw[:nw], err_msg=f"slot {s}")
+
+
+def test_spec_chunks_match_plain_greedy(params):
+    """Budget-capped rows (EOS never fires): spec chunks at k=2 and k=4
+    emit exactly the plain chunk path's tokens, including mixed budgets."""
+    embeds, mask = _prompts(params)
+    budgets = [24, 7, 16]
+    want = _run(_make(params, eos=511), embeds, mask, [0, 1, 2], budgets, False)
+    for k in (2, 4):
+        got = _run(
+            _make(params, eos=511, spec_k=k), embeds, mask, [0, 1, 2],
+            budgets, True,
+        )
+        _assert_same(got, want)
+
+
+def test_spec_eos_mid_round_matches_plain(params):
+    """An EOS landing inside a committed draft window truncates the round
+    exactly like stepwise greedy: pick an eos id that actually occurs
+    mid-stream in the free-running output."""
+    embeds, mask = _prompts(params, seed=11, pads=(0, 0, 0))
+    free = _run(_make(params, eos=-1), embeds, mask, [0, 1, 2], [24] * 3, False)
+    eos = int(free[0][0][7])  # a token emitted mid-stream by row 0
+    want = _run(_make(params, eos=eos), embeds, mask, [0, 1, 2], [24] * 3, False)
+    assert min(n for _, n in want.values()) < 24, "eos must actually trigger"
+    for k in (2, 4):
+        got = _run(
+            _make(params, eos=eos, spec_k=k), embeds, mask, [0, 1, 2],
+            [24] * 3, True,
+        )
+        _assert_same(got, want)
+
+
+def test_spec_mid_decode_admission(params):
+    """A row admitted while others are mid-speculation gets the same
+    output as a fresh plain run — per-row offsets keep the rejected-tail
+    overwrites inside each slot's own cache row."""
+    embeds, mask = _prompts(params, seed=7)
+    want = _run(_make(params, eos=511), embeds, mask, [0, 1, 2], [20] * 3, False)
+
+    dec = _make(params, eos=511, spec_k=3)
+    dec.admit(embeds[:2], mask[:2], [0, 1], [20, 20])
+    dec.decode_chunk(2, spec=True)  # rows 0/1 mid-flight with rejected tails
+    dec.admit(embeds[2:3], mask[2:3], [2], [20])
+    _drain(dec, spec=True)
+    got = {s: (t, n) for s, t, n in dec.harvest()}
+    _assert_same(got, want)
+
+
+def test_spec_slot_reuse_after_harvest(params):
+    """A slot freed by a spec-chunk harvest serves a new request
+    correctly (the verification headroom writes never leak across
+    admissions)."""
+    embeds, mask = _prompts(params, seed=5)
+    want = _run(_make(params, eos=511), embeds, mask, [0, 1, 2], [10] * 3, False)
+
+    dec = _make(params, eos=511, spec_k=4, n_slots=2)
+    got = _run(dec, embeds[:2], mask[:2], [0, 1], [10, 10], True)
+    got.update(
+        {2 if s == 0 else s: (t, n) for s, (t, n) in
+         _run(dec, embeds[2:3], mask[2:3], [0], [10], True).items()}
+    )
+    _assert_same(got, want)
+
+
+def test_spec_contract_errors(params):
+    with pytest.raises(ValueError, match="dense slot cache"):
+        SlotDecoder(params, TINY, eos_id=0, spec_k=2, paged=True,
+                    cache_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="repetition_penalty"):
+        SlotDecoder(params, TINY, eos_id=0, spec_k=2,
+                    repetition_penalty=1.2, cache_dtype=jnp.float32)
+
+
+def test_spec_continuous_engine_e2e():
+    """The continuous scheduler with spec_k: greedy requests match the
+    one-shot engine exactly; a live sampling request makes the scheduler
+    fall back to plain chunks (and still completes)."""
+    from llm_speech_summarization_tpu.configs import load_config
+    from llm_speech_summarization_tpu.infer.engine import LLMSpeechTextInference
+    from llm_speech_summarization_tpu.serve.server import (
+        ContinuousBatchingEngine,
+        _Request,
+    )
+
+    engine = LLMSpeechTextInference(load_config(TINY_YAML))
+    texts = ["speculate about turtles", "another prompt entirely", "third one"]
+    want = engine.generate_text_response_batch(texts, max_new_tokens=12)
+
+    cb = ContinuousBatchingEngine(
+        engine, n_slots=4, chunk_steps=2, max_prompt_len=256,
+        max_new_tokens=16, spec_k=3,
+    )
+    assert cb.decoder.spec_k == 3
+    try:
+        results = {}
+
+        def run(i):
+            results[i] = cb.submit(_Request("text", texts[i], "", 12), timeout=180)
+
+        def run_sampled():
+            req = _Request("text", "sampled request", "", 8)
+            req.temperature = 0.9
+            req.seed = 7
+            results["sampled"] = cb.submit(req, timeout=180)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+        threads.append(threading.Thread(target=run_sampled))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        for i in range(3):
+            assert results[i] == want[i], (i, results[i], want[i])
+        assert isinstance(results["sampled"], str)
+    finally:
+        cb.shutdown()
