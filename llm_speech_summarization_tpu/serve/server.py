@@ -164,6 +164,54 @@ class BatchingEngine:
                     r.event.set()
 
 
+class _SpecGovernor:
+    """Adaptive speculative-chunk gating (host-side, zero device reads).
+
+    A speculative round costs ~1.1-1.5× a plain decode step and pays for
+    itself only when drafts get accepted (breakeven acceptance ~2-4% at
+    the engine level, higher once scheduler overhead is counted —
+    PERF.md "Speculative decoding"). Acceptance is a property of the
+    WEIGHTS and the traffic (summaries repeat n-grams; random weights do
+    not), so the scheduler measures it live: each spec chunk's per-row
+    emitted-token delta beyond one-per-round is the accepted-draft bonus.
+    Below ``threshold`` the scheduler demotes to plain chunks and
+    re-probes with a spec chunk every ``probe_every`` chunks in case the
+    traffic changed."""
+
+    def __init__(self, spec_k: int, threshold: float = 0.05,
+                 probe_every: int = 32, ema_decay: float = 0.7):
+        self.spec_k = spec_k
+        self.threshold = threshold
+        self.probe_every = probe_every
+        self.ema_decay = ema_decay
+        self.acceptance = 3.0 * threshold  # optimistic start: try spec first
+        self._chunks_since_probe = 0
+
+    def want_spec(self) -> bool:
+        if self.acceptance >= self.threshold:
+            return True
+        self._chunks_since_probe += 1
+        if self._chunks_since_probe >= self.probe_every:
+            self._chunks_since_probe = 0
+            return True
+        return False
+
+    def observe(self, rounds: int, deltas) -> None:
+        """``deltas``: emitted-token deltas across ONE spec chunk of
+        ``rounds`` rounds, for rows live both before and after it (such
+        rows ran every round and committed ≥1 token per round, so
+        delta ≥ rounds and the excess is accepted drafts)."""
+        if not deltas or rounds <= 0:
+            return
+        bonus = [
+            max(0.0, d - rounds) / (rounds * self.spec_k) for d in deltas
+        ]
+        m = sum(bonus) / len(bonus)
+        self.acceptance = (
+            self.ema_decay * self.acceptance + (1.0 - self.ema_decay) * m
+        )
+
+
 class ContinuousBatchingEngine:
     """Decode-step-level continuous batching (VERDICT r1 #5).
 
@@ -219,6 +267,11 @@ class ContinuousBatchingEngine:
             # the scheduler falls back to plain chunks whenever a sampling
             # request is live (_loop)
         )
+        # adaptive spec gating: measured live acceptance decides whether
+        # spec chunks pay (below breakeven they are pure overhead — the
+        # α≈0 serve bench measured −33% req/s, PERF.md)
+        self.spec_governor = _SpecGovernor(spec_k) if spec_k > 0 else None
+        self._spec_prev: Dict[int, tuple] = {}  # slot → (req, n_emitted)
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._prepared: "queue.Queue" = queue.Queue()
         self._pending_wave = None
@@ -278,6 +331,27 @@ class ContinuousBatchingEngine:
                     t.start()
                 for t in threads:
                     t.join()
+        # chunk-program warmup: the budget-2 waves above never grow the
+        # adaptive chunk size (remaining budget caps it at base), so the
+        # k=32/64 plain-chunk programs would compile under LIVE traffic.
+        # One full-budget request walks the whole growth ladder; the spec
+        # shape (if any) was compiled by the waves above (the governor
+        # starts optimistic). Force plain chunks for this request.
+        gov = self.spec_governor
+        if gov is not None:
+            saved = (gov.acceptance, gov.probe_every)
+            gov.acceptance, gov.probe_every = 0.0, 10**9
+        try:
+            wav = np.zeros(int(float(audio_seconds[0]) * sr), np.float32)
+            self.submit(
+                _Request(kind="audio", payload=wav, text_prompt="",
+                         max_new_tokens=self.decoder.max_new),
+                timeout=timeout,
+            )
+        finally:
+            if gov is not None:
+                gov.acceptance, gov.probe_every = saved
+                gov._chunks_since_probe = 0
 
     def shutdown(self):
         self._stop.set()
@@ -486,16 +560,32 @@ class ContinuousBatchingEngine:
                 k = self._pick_chunk(flags)
                 # speculative chunks verify exact greedy streams — only
                 # when every live request is greedy (sampling rows need the
-                # per-token RNG path); each of the k rounds then commits
-                # 1+accepted tokens for ~one step's weight stream
-                spec = self.decoder.spec_k > 0 and all(
-                    r.sampling_tuple is None for r in self._by_slot.values()
+                # per-token RNG path) AND the governor's measured live
+                # acceptance says the verification rounds pay (it demotes
+                # to plain chunks below breakeven, probing periodically)
+                spec = (
+                    self.decoder.spec_k > 0
+                    and all(
+                        r.sampling_tuple is None
+                        for r in self._by_slot.values()
+                    )
+                    and self.spec_governor.want_spec()
                 )
+                if spec:
+                    # ONE spec program shape: every (spec, k) pair is its
+                    # own XLA compile, so letting probes ride the adaptive
+                    # chunk sizes compiled fresh 20-40 s programs MID-WAVE
+                    # (measured: 3.5 req/s vs 7.6 plain). Spec rounds
+                    # commit multiple tokens anyway, so the base chunk
+                    # already covers the budget a grown plain chunk would.
+                    k = self.chunk_steps
                 dev = (
                     self.decoder.decode_chunk(
                         k, return_flags=True, sync=False, spec=spec
                     ),
                     self._iter,
+                    spec,
+                    k,
                 )
                 self.batches_run += 1
                 # optimistic mirror advance (budget-bound progression)
@@ -506,7 +596,7 @@ class ContinuousBatchingEngine:
             else:
                 dev = None
             if pending is not None:
-                fused, dispatch_iter = pending
+                fused, dispatch_iter, was_spec, k_disp = pending
                 actual = self.decoder.to_host_flags(fused)
                 # STALENESS GUARD: `actual` reflects a chunk dispatched at
                 # dispatch_iter — BEFORE any harvest/admission issued since.
@@ -533,6 +623,26 @@ class ContinuousBatchingEngine:
                         actual[0][s] = True
                     else:
                         del self._cancelled_at[s]
+                if self.spec_governor is not None:
+                    # measure live draft acceptance: rows live across the
+                    # whole spec chunk ran every round and committed ≥1
+                    # token per round — the excess is accepted drafts.
+                    # The snapshot then advances to THIS read for the
+                    # next chunk's deltas (stale/fresh rows are excluded
+                    # by the done-masking above).
+                    if was_spec:
+                        deltas = [
+                            int(actual[2][s]) - prev_n
+                            for s, (prev_r, prev_n) in self._spec_prev.items()
+                            if self._by_slot.get(s) is prev_r
+                            and not actual[0][s]
+                        ]
+                        self.spec_governor.observe(k_disp, deltas)
+                    self._spec_prev = {
+                        s: (r, int(actual[2][s]))
+                        for s, r in self._by_slot.items()
+                        if not actual[0][s]
+                    }
                 self._emit_partials(actual)
                 for slot, tokens, n in self.decoder.harvest(actual):
                     req = self._by_slot.pop(slot, None)
@@ -816,6 +926,11 @@ class SummarizationServer:
                 paged=b.decoder.paged,
                 spec_k=b.decoder.spec_k,
             )
+            if b.spec_governor is not None:
+                out["spec_acceptance"] = round(b.spec_governor.acceptance, 4)
+                out["spec_active"] = (
+                    b.spec_governor.acceptance >= b.spec_governor.threshold
+                )
             if b.decoder.paged:
                 out["free_pages"] = b.decoder.allocator.free_pages
                 out["num_pages"] = b.decoder.num_pages

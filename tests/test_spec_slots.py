@@ -139,6 +139,32 @@ def test_spec_contract_errors(params):
                     repetition_penalty=1.2, cache_dtype=jnp.float32)
 
 
+def test_spec_governor_demotes_and_probes():
+    """α≈0 observations drive the governor below threshold (spec chunks
+    become pure overhead → plain chunks), it keeps probing periodically,
+    and real acceptance re-enables spec."""
+    from llm_speech_summarization_tpu.serve.server import _SpecGovernor
+
+    gov = _SpecGovernor(spec_k=4, threshold=0.05, probe_every=8, ema_decay=0.7)
+    assert gov.want_spec()  # optimistic start
+    for _ in range(10):  # α=0: every live row emits exactly 1/round
+        gov.observe(rounds=8, deltas=[8, 8, 8])
+    assert gov.acceptance < gov.threshold
+    # demoted: mostly plain, but probes exactly every probe_every chunks
+    picks = [gov.want_spec() for _ in range(24)]
+    assert picks.count(True) == 3 and not picks[0]
+    assert picks[7] and picks[15] and picks[23]
+    # high acceptance on a probe re-enables spec immediately
+    for _ in range(4):  # rows emit ~3 bonus tokens/round at k=4 (α≈0.75)
+        gov.observe(rounds=8, deltas=[32, 28, 30])
+    assert gov.acceptance >= gov.threshold
+    assert gov.want_spec()
+    # truncated rows (done mid-chunk → delta < rounds) never go negative
+    gov2 = _SpecGovernor(spec_k=4)
+    gov2.observe(rounds=8, deltas=[3])
+    assert gov2.acceptance >= 0.0
+
+
 def test_spec_continuous_engine_e2e():
     """The continuous scheduler with spec_k: greedy requests match the
     one-shot engine exactly; a live sampling request makes the scheduler
