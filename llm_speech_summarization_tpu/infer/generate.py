@@ -253,6 +253,53 @@ def _ngram_propose(tokens: jnp.ndarray, t: jnp.ndarray, last: jnp.ndarray, k: in
     return draft.astype(jnp.int32)
 
 
+def commit_verified_drafts(preds, draft, tokens, n_emitted, budgets, done,
+                           last, eos_id: int):
+    """Shared accept/commit core of speculative decoding — the one-shot
+    ``speculative_generate`` below AND the serving slot decoder's spec
+    chunks (infer/slots.py::_spec_chunk_fn) both call this, so the
+    token-exactness contract (longest agreeing draft prefix + bonus
+    token, first committed EOS truncates, budget prefix caps) lives in
+    exactly one place.
+
+    preds/draft: (B, k+1)/(B, k) from ONE verification forward;
+    tokens: (B, cap) output buffer; budgets: per-row (B,) or a scalar
+    upper bound; done/last/n_emitted: (B,) row state.
+    Returns (tokens, n_add, last, done, commit)."""
+    B, k1 = preds.shape
+    # longest agreeing draft prefix; +1 bonus token always commits
+    agree = jnp.cumprod((preds[:, :-1] == draft).astype(jnp.int32), axis=1)
+    a = jnp.sum(agree, axis=1)  # (B,) accepted draft tokens
+    j = jnp.arange(k1, dtype=jnp.int32)[None, :]
+    commit = j <= a[:, None]  # (B, k+1) tokens emitted this round
+    # stop at the first EOS among committed tokens (it commits, the rest don't)
+    is_eos = (preds == eos_id).astype(jnp.int32)
+    commit = commit & (jnp.cumsum(is_eos, axis=1) - is_eos == 0)
+    budgets = jnp.broadcast_to(jnp.asarray(budgets, jnp.int32), (B,))
+    commit = commit & (~done)[:, None] & (
+        (n_emitted[:, None] + j) < budgets[:, None]
+    )
+    dest = jnp.clip(n_emitted[:, None] + j, 0, tokens.shape[1] - 1)
+    tokens = jax.lax.fori_loop(
+        0, k1,
+        lambda i, tk: tk.at[jnp.arange(B), dest[:, i]].set(
+            jnp.where(commit[:, i], preds[:, i], tk[jnp.arange(B), dest[:, i]])
+        ),
+        tokens,
+    )
+    n_add = jnp.sum(commit.astype(jnp.int32), axis=1)  # ≥1 for live rows
+    last_new = jnp.take_along_axis(
+        preds, jnp.maximum(n_add - 1, 0)[:, None], axis=1
+    )[:, 0]
+    last = jnp.where(done | (n_add == 0), last, last_new)
+    done = (
+        done
+        | jnp.any((preds == eos_id) & commit, axis=1)
+        | ((n_emitted + n_add) >= budgets)
+    )
+    return tokens, n_add, last, done, commit
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "eos_id", "k", "cache_dtype"),
@@ -340,41 +387,20 @@ def speculative_generate(
             kv_cache=cache, cache_offset=off, kv_valid=kv_valid,
         )
         preds = jnp.argmax(fwd.logits, axis=-1).astype(jnp.int32)  # (B, k+1)
-        # longest agreeing draft prefix; +1 bonus token always commits
-        agree = jnp.cumprod((preds[:, :-1] == draft).astype(jnp.int32), axis=1)
-        a = jnp.sum(agree, axis=1)  # (B,) accepted draft tokens
-        j = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
-        commit = j <= a[:, None]  # (B, k+1) tokens emitted this round
-        # stop at the first EOS among committed tokens (it commits, the rest don't)
-        eos_seen = jnp.cumsum((preds == eos_id).astype(jnp.int32), axis=1)
-        commit = commit & (eos_seen - (preds == eos_id).astype(jnp.int32) == 0)
         live = (~done)[:, None]
-        budget_ok = (n[:, None] + j) < max_new_tokens
-        commit = commit & live & budget_ok
-
-        dest = jnp.clip(n[:, None] + j, 0, max_new_tokens - 1)
-        tokens = jax.lax.fori_loop(
-            0, k + 1,
-            lambda i, tk: tk.at[jnp.arange(B), dest[:, i]].set(
-                jnp.where(commit[:, i], preds[:, i], tk[jnp.arange(B), dest[:, i]])
-            ),
-            tokens,
+        tokens, n_add, last, done, commit = commit_verified_drafts(
+            preds, draft, tokens, n, max_new_tokens, done, last, eos_id
         )
-        n_add = jnp.sum(commit.astype(jnp.int32), axis=1)
         n_new = n + n_add
         # the fresh K/V of the fed tokens [last, draft]: slots are valid for
         # the fed positions that were CONSUMED — last is always consumed by
         # live rows; draft j is consumed iff committed as context, i.e.
         # j < n_add (the verified prefix feeds future attention)
+        j = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
         fed_ok = (j < jnp.maximum(n_add, 1)[:, None]) & live
         kv_valid = jax.lax.dynamic_update_slice(
             kv_valid, fed_ok, (0, off)
         )
-        last_new = jnp.take_along_axis(
-            preds, jnp.maximum(n_add - 1, 0)[:, None], axis=1
-        )[:, 0]
-        last = jnp.where(done, last, last_new)
-        done = done | jnp.any((preds == eos_id) & commit, axis=1) | (n_new >= max_new_tokens)
         pos = pos + n_add
         return (n_new, off + k + 1, tokens, last, done, fwd.kv_cache, kv_valid, pos)
 

@@ -766,43 +766,16 @@ class SlotDecoder:
                         kv_pad_lens=s.pad_lens,
                     )
                     preds = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
-                    # longest agreeing draft prefix; +1 bonus always commits
-                    agree = jnp.cumprod(
-                        (preds[:, :-1] == draft).astype(jnp.int32), axis=1
+                    # the accept/commit contract (agreeing prefix + bonus,
+                    # first-EOS truncation, budget caps) is SHARED with the
+                    # engine's one-shot path — one copy of the math
+                    from .generate import commit_verified_drafts
+
+                    tokens, n_add, last, done, _ = commit_verified_drafts(
+                        preds, draft, s.tokens, s.n_emitted, s.budgets,
+                        s.done, s.last_token, eos,
                     )
-                    a = jnp.sum(agree, axis=1)  # (N,) accepted draft tokens
-                    j = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
-                    commit = j <= a[:, None]
-                    # the first committed EOS commits; nothing after it does
-                    is_eos = (preds == eos).astype(jnp.int32)
-                    commit = commit & (jnp.cumsum(is_eos, axis=1) - is_eos == 0)
-                    live = (~s.done)[:, None]
-                    budget_ok = (s.n_emitted[:, None] + j) < s.budgets[:, None]
-                    commit = commit & live & budget_ok
-                    dest = jnp.clip(
-                        s.n_emitted[:, None] + j, 0, s.tokens.shape[1] - 1
-                    )
-                    tokens = jax.lax.fori_loop(
-                        0, K + 1,
-                        lambda i, tk: tk.at[jnp.arange(N), dest[:, i]].set(
-                            jnp.where(
-                                commit[:, i], preds[:, i],
-                                tk[jnp.arange(N), dest[:, i]],
-                            )
-                        ),
-                        s.tokens,
-                    )
-                    n_add = jnp.sum(commit.astype(jnp.int32), axis=1)  # ≥1 live
                     n_emitted = s.n_emitted + n_add
-                    last_new = jnp.take_along_axis(
-                        preds, jnp.maximum(n_add - 1, 0)[:, None], axis=1
-                    )[:, 0]
-                    last = jnp.where(s.done | (n_add == 0), s.last_token, last_new)
-                    done = (
-                        s.done
-                        | jnp.any((preds == eos) & commit, axis=1)
-                        | (n_emitted >= s.budgets)
-                    )
                     # advancing by n_add keeps exactly the CONSUMED fed
                     # slots ([last, accepted drafts…]) inside the valid
                     # window; the rejected tail is overwritten next round

@@ -331,7 +331,7 @@ def _block(
             k_cache, v_cache, k_scale, v_scale = cache_kv
         else:
             (k_cache, v_cache), k_scale, v_scale = cache_kv, None, None
-        pad_lens, offset = attn_args  # offset: (B,) — scalar pre-broadcast
+        pad_lens, offset, fresh_mask = attn_args  # offset: (B,) pre-broadcast
         S = k_cache.shape[2]
         group = Hq // Hkv
         qg = q.reshape(B, T, Hkv, group, Dh)
@@ -350,8 +350,13 @@ def _block(
             "bthgd,bshd->bthgs", qg, k.astype(q.dtype),
             preferred_element_type=jnp.float32,
         ) * (Dh ** -0.5)
+        # query t attends fresh key s iff s <= t AND s is a real (unpadded)
+        # position — attn_mask applies to the fresh tokens like every other
+        # path (all-ones for the in-tree decode/verification callers, where
+        # XLA folds the extra term away)
         causal = jnp.arange(T)[:, None] >= jnp.arange(T)[None, :]  # (Tq, Tk)
-        s_f = jnp.where(causal[None, :, None, None, :], s_f, -1e30)
+        valid_f = causal[None, :, :] & fresh_mask[:, None, :]  # (B, Tq, Tk)
+        s_f = jnp.where(valid_f[:, :, None, None, :], s_f, -1e30)
         m = jnp.maximum(
             jnp.max(s_c, axis=-1, keepdims=True), jnp.max(s_f, axis=-1, keepdims=True)
         )
@@ -428,10 +433,13 @@ def llama_forward(
         left-padded (B, T) batch; `attn_mask` marks real positions.
       * prefill: kv_cache + cache_offset=0 + neither kv_valid nor
         kv_pad_lens; keys/values written to cache slots [0, T).
-      * decode: kv_cache + cache_offset=t, T==1. Valid cache slots are
-        given either as ``kv_pad_lens`` (B,) — valid ≡ [pad, offset), the
-        fast arithmetic form the Pallas kernel uses — or as an explicit
-        ``kv_valid`` (B, S) mask (XLA path only).
+      * decode: kv_cache + cache_offset=t. T==1 is the plain decode step;
+        T>1 (kv_pad_lens form only) is the speculative VERIFICATION
+        forward — every query attends the cache window plus the fresh
+        tokens causally (infer/slots.py spec decode). Valid cache slots
+        are given either as ``kv_pad_lens`` (B,) — valid ≡ [pad, offset),
+        the fast arithmetic form the Pallas kernel uses — or as an
+        explicit ``kv_valid`` (B, S) mask (XLA path only, T==1).
 
     ``attn_impl``: "auto" (Pallas on TPU when shapes allow, else XLA),
     "xla", or "pallas".
@@ -545,6 +553,7 @@ def llama_forward(
             attn_args = (
                 kv_pad_lens.astype(jnp.int32),
                 jnp.broadcast_to(cache_offset, (B,)),
+                attn_mask,
             )
         else:
             assert not per_row_offset, "decode_xla path needs a scalar offset"

@@ -242,6 +242,16 @@ class ContinuousBatchingEngine:
         from ..infer.slots import SlotDecoder
 
         self.engine = engine
+        # graceful demotion, matching the engine's own speculative gate
+        # (infer/engine.py silently disables spec under a repetition
+        # penalty): a CLI combo like --speculative_k with
+        # --repetition_penalty or --paged must keep serving, not die on
+        # SlotDecoder's (correct) library-contract ValueError.
+        rep = getattr(engine, "repetition_penalty", 1.0)
+        if spec_k > 0 and (paged or rep != 1.0):
+            why = "paged KV cache" if paged else f"repetition_penalty={rep}"
+            print(f"speculative chunks disabled: incompatible with {why}")
+            spec_k = 0
         self.chunk_steps = chunk_steps
         # adaptive ceiling (_pick_chunk): chunks grow toward this by powers
         # of two when no stream/admission wants a near boundary
@@ -463,6 +473,12 @@ class ContinuousBatchingEngine:
                     done[s] = False
                     budgets[s] = min(r.max_new_tokens, self.decoder.max_new)
                     counts[s] = 1
+                    if self.spec_governor is not None:
+                        # seed the acceptance snapshot at admission
+                        # (n_emitted is 1 post-prefill) so requests that
+                        # finish within their FIRST chunk still get
+                        # observed by the governor
+                        self._spec_prev[s] = (r, 1)
             except MemoryError as e:
                 # paged pool full: admission reserves each request's whole
                 # page need up front, so pressure surfaces here — defer the
@@ -627,22 +643,33 @@ class ContinuousBatchingEngine:
                     # measure live draft acceptance: rows live across the
                     # whole spec chunk ran every round and committed ≥1
                     # token per round — the excess is accepted drafts.
-                    # The snapshot then advances to THIS read for the
-                    # next chunk's deltas (stale/fresh rows are excluded
-                    # by the done-masking above).
+                    # Rows that FINISHED inside the chunk (EOS/budget)
+                    # count too, as a lower bound (their delta may be
+                    # truncated): without them, all-short traffic whose
+                    # every request completes within one chunk would
+                    # never be observed and the governor could stay
+                    # frozen at its optimistic start. Identity (`is
+                    # prev_r`) excludes re-admitted and stale-masked
+                    # slots; cancelled rows were already popped.
                     if was_spec:
                         deltas = [
                             int(actual[2][s]) - prev_n
                             for s, (prev_r, prev_n) in self._spec_prev.items()
                             if self._by_slot.get(s) is prev_r
-                            and not actual[0][s]
+                            and prev_r._admit_iter <= dispatch_iter
                         ]
                         self.spec_governor.observe(k_disp, deltas)
-                    self._spec_prev = {
-                        s: (r, int(actual[2][s]))
-                        for s, r in self._by_slot.items()
-                        if not actual[0][s]
-                    }
+                    new_prev = {}
+                    for s, r in self._by_slot.items():
+                        if r._admit_iter > dispatch_iter:
+                            # not reflected in this read — keep the
+                            # admission-time seed for the next one
+                            pv = self._spec_prev.get(s)
+                            if pv is not None and pv[0] is r:
+                                new_prev[s] = pv
+                        elif not actual[0][s]:
+                            new_prev[s] = (r, int(actual[2][s]))
+                    self._spec_prev = new_prev
                 self._emit_partials(actual)
                 for slot, tokens, n in self.decoder.harvest(actual):
                     req = self._by_slot.pop(slot, None)

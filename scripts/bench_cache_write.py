@@ -63,24 +63,24 @@ def make(case):
             sc = jnp.max(newv, -1).astype(jnp.bfloat16)
             off = OFF + i if case != "static_off" else OFF
 
-            def dus(buf, upd, axis3):
+            def dus(buf, upd):
                 idx = (0, 0, 0, off) + (0,) * (buf.ndim - 4)
                 return jax.lax.dynamic_update_slice(buf, upd.astype(buf.dtype), idx)
 
             if case in ("int8_full", "static_off"):
-                kc = dus(kc, q8, off)
-                vc = dus(vc, q8, off)
-                ks = dus(ks, sc, off)
-                vs = dus(vs, sc, off)
+                kc = dus(kc, q8)
+                vc = dus(vc, q8)
+                ks = dus(ks, sc)
+                vs = dus(vs, sc)
             elif case == "int8_novals":
-                ks = dus(ks, sc, off)
-                vs = dus(vs, sc, off)
+                ks = dus(ks, sc)
+                vs = dus(vs, sc)
             elif case == "int8_noscale":
-                kc = dus(kc, q8, off)
-                vc = dus(vc, q8, off)
+                kc = dus(kc, q8)
+                vc = dus(vc, q8)
             elif case == "bf16_full":
-                kc = dus(kc, newv, off)
-                vc = dus(vc, newv, off)
+                kc = dus(kc, newv)
+                vc = dus(vc, newv)
             return kc, vc, ks, vs, x
 
         out = jax.lax.fori_loop(0, STEPS, body, (kc, vc, ks, vs, x))

@@ -165,6 +165,75 @@ def test_spec_governor_demotes_and_probes():
     assert gov2.acceptance >= 0.0
 
 
+def test_spec_flag_demotes_gracefully_with_incompatible_modes():
+    """--speculative_k with --paged or a repetition penalty must SERVE
+    (spec silently disabled, like the engine's own gate), not die on the
+    SlotDecoder library-contract ValueError at startup."""
+    from llm_speech_summarization_tpu.configs import load_config
+    from llm_speech_summarization_tpu.infer.engine import LLMSpeechTextInference
+    from llm_speech_summarization_tpu.serve.server import (
+        ContinuousBatchingEngine,
+    )
+
+    engine = LLMSpeechTextInference(load_config(TINY_YAML))
+    cb = ContinuousBatchingEngine(engine, n_slots=2, spec_k=3, paged=True,
+                                  max_prompt_len=128, max_new_tokens=16)
+    try:
+        assert cb.decoder.spec_k == 0 and cb.decoder.paged
+        assert cb.spec_governor is None
+    finally:
+        cb.shutdown()
+
+    engine.repetition_penalty = 1.1
+    cb = ContinuousBatchingEngine(engine, n_slots=2, spec_k=3,
+                                  max_prompt_len=128, max_new_tokens=16)
+    try:
+        assert cb.decoder.spec_k == 0
+    finally:
+        cb.shutdown()
+    engine.repetition_penalty = 1.0
+
+
+def test_spec_governor_observes_single_chunk_requests():
+    """Requests that complete within their FIRST chunk must still feed the
+    governor (seeded at admission): with α≈0 all-short traffic the
+    acceptance estimate must fall, not stay frozen at the optimistic
+    start."""
+    from llm_speech_summarization_tpu.configs import load_config
+    from llm_speech_summarization_tpu.infer.engine import LLMSpeechTextInference
+    from llm_speech_summarization_tpu.serve.server import (
+        ContinuousBatchingEngine,
+        _Request,
+    )
+
+    engine = LLMSpeechTextInference(load_config(TINY_YAML))
+    cb = ContinuousBatchingEngine(
+        engine, n_slots=4, chunk_steps=8, max_prompt_len=256,
+        max_new_tokens=16, spec_k=3,
+    )
+    start = cb.spec_governor.acceptance
+    try:
+        results = {}
+
+        def run(i):
+            # budget 6 < chunk_steps: finishes within one chunk
+            results[i] = cb.submit(
+                _Request("text", f"short request {i}", "", 6), timeout=180
+            )
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert len(results) == 6
+        assert cb.spec_governor.acceptance != start, (
+            "governor never observed single-chunk requests"
+        )
+    finally:
+        cb.shutdown()
+
+
 def test_spec_continuous_engine_e2e():
     """The continuous scheduler with spec_k: greedy requests match the
     one-shot engine exactly; a live sampling request makes the scheduler
