@@ -130,6 +130,36 @@ def test_tp_paged_slot_decode_token_identical(engines):
 
 
 @needs_8_devices
+def test_tp_spec_chunks_token_identical(engines):
+    """TP serving × speculative decode chunks (a real v5e-8 deploy combo):
+    the T=k+1 verification forward runs sharded on the KV-head axis and
+    spec chunks stay token-identical to the unsharded plain decoder."""
+    ref, tp, mesh = engines
+    texts = ["speculative tensor parallel", "the quick brown fox jumps"]
+    budget = 14
+
+    want = ref.generate_text_response_batch(texts, max_new_tokens=budget)
+
+    dec = SlotDecoder(
+        tp.llm_params, tp.llm_cfg, eos_id=tp.tokenizer.eos_id, n_slots=4,
+        max_prompt_len=256, max_new_tokens=32,
+        cache_dtype=tp.cache_dtype, mesh=tp.mesh, spec_k=3,
+    )
+    embeds, mask = tp.build_text_prompt_batch(texts)
+    dec.admit(embeds[:2], mask[:2], [0, 1], [budget, budget])
+    for _ in range(budget):
+        if dec.live_count() == 0:
+            break
+        dec.decode_chunk(3, spec=True)
+    got = {}
+    for slot, tokens, cnt in dec.harvest():
+        got[slot] = tp.tokenizer.decode(
+            tokens[: min(cnt, budget)].tolist(), skip_special_tokens=True
+        )
+    assert [got[0], got[1]] == want
+
+
+@needs_8_devices
 def test_tp_http_e2e_on_mesh(engines):
     """Full HTTP serving (continuous scheduler + streaming) with the engine
     on the mesh: audio and text endpoints answer; streamed deltas
