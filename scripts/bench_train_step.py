@@ -33,7 +33,11 @@ STEPS = 5
 
 
 def main():
+    global B
     remat = "--no-remat" not in sys.argv
+    for a in sys.argv:  # --batch=16: int8 LLM frees ~3.2 GB — measure it
+        if a.startswith("--batch="):
+            B = int(a.split("=")[1])
     cfg = load_config("llm_speech_summarization_tpu/configs/yaml/llama3_hubert.yaml")
     cfg.train.batch_size = B
     cfg.train.remat = remat
