@@ -41,6 +41,13 @@ def main():
     p.add_argument("--spec-k", type=int, default=0,
                    help="continuous mode: speculative decode chunks "
                    "(infer/slots.py spec_k; greedy loads only)")
+    p.add_argument("--arrival-rate", type=float, default=0.0,
+                   help="sustained mode: Poisson arrivals at this req/s "
+                   "for --duration seconds instead of one burst — the "
+                   "steady-state regime where per-request early return "
+                   "(continuous batching) shows up as latency, not just "
+                   "wall time")
+    p.add_argument("--duration", type=float, default=60.0)
     args = p.parse_args()
 
     from llm_speech_summarization_tpu.configs import load_config
@@ -110,6 +117,50 @@ def main():
     server.warmup()
     wave(record=False)
     errs.clear()
+
+    if args.arrival_rate > 0:
+        # sustained mode: exponential inter-arrival times at the offered
+        # rate; each arrival grabs the next budget from the mixed cycle.
+        # Latency per class is the signal — under sustained mixed load a
+        # request-level batcher holds shorts hostage to co-batched longs,
+        # while the slot scheduler returns them at their own pace.
+        arr = np.random.RandomState(1)
+        threads, i = [], 0
+        t0 = time.perf_counter()
+        deadline = t0 + args.duration
+        while time.perf_counter() < deadline:
+            time.sleep(float(arr.exponential(1.0 / args.arrival_rate)))
+            th = threading.Thread(target=worker, args=(i % args.n, True))
+            th.start()
+            threads.append(th)
+            i += 1
+        for th in threads:
+            th.join()
+        wall = time.perf_counter() - t0
+        offered = i
+        served = offered - len(errs)
+        lats = lat[args.short_tokens] + lat[args.long_tokens]
+        out = {
+            "mode": ("request-level" if args.request_level else
+                     ("continuous-paged" if args.paged else "continuous"))
+            + (f"-spec{args.spec_k}" if args.spec_k and not args.request_level
+               else "") + "-sustained",
+            "offered_req_s": round(args.arrival_rate, 2),
+            "achieved_req_s": round(served / wall, 2),
+            "served": served,
+            "errors": len(errs),
+            "wall_s": round(wall, 2),
+            f"p50_short_{args.short_tokens}tok_s": round(float(np.percentile(lat[args.short_tokens], 50)), 2) if lat[args.short_tokens] else None,
+            f"p95_short_{args.short_tokens}tok_s": round(float(np.percentile(lat[args.short_tokens], 95)), 2) if lat[args.short_tokens] else None,
+            f"p50_long_{args.long_tokens}tok_s": round(float(np.percentile(lat[args.long_tokens], 50)), 2) if lat[args.long_tokens] else None,
+            f"p95_long_{args.long_tokens}tok_s": round(float(np.percentile(lat[args.long_tokens], 95)), 2) if lat[args.long_tokens] else None,
+        }
+        print(json.dumps(out), flush=True)
+        if errs:
+            print(errs[:3], file=sys.stderr)
+        import os
+
+        os._exit(0)
 
     wall = wave(record=True)
 
