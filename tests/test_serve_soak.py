@@ -25,8 +25,11 @@ N_REQUESTS = 18
 BUDGETS = (4, 8, 16)
 
 
-@pytest.mark.parametrize("paged", [False, True])
-def test_sustained_mixed_load_soak(paged):
+@pytest.mark.parametrize(
+    "paged,spec_k", [(False, 0), (True, 0), (False, 3)],
+    ids=["dense", "paged", "spec"],
+)
+def test_sustained_mixed_load_soak(paged, spec_k):
     cfg = load_config(TINY_YAML)
     engine = LLMSpeechTextInference(cfg)
     texts = [f"soak prompt {i} topic {(i * 13) % 7}" for i in range(N_REQUESTS)]
@@ -38,7 +41,7 @@ def test_sustained_mixed_load_soak(paged):
 
     srv = SummarizationServer(
         engine, host="127.0.0.1", port=0, continuous=True, paged=paged,
-        n_slots=3, chunk_steps=2, max_new_tokens=24,
+        n_slots=3, chunk_steps=2, max_new_tokens=24, spec_k=spec_k,
     )
     srv.start_background()
     try:
