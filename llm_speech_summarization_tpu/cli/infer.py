@@ -31,6 +31,10 @@ def main(argv=None):
                         help="damp repeated tokens (the reference documents "
                         "greedy repetition loops as a known failure, "
                         "inference.py:169-171; try 1.2)")
+    parser.add_argument("--speculative_k", type=int, default=0,
+                        help="self-speculative decoding lookahead for the "
+                        "greedy decode (0 = off; token-exact acceleration, "
+                        "PERF.md)")
     args = parser.parse_args(argv)
 
     from ..configs import load_config
@@ -41,6 +45,7 @@ def main(argv=None):
     engine = LLMSpeechTextInference(
         config, audio_encoder_checkpoint=args.audio_encoder_checkpoint,
         repetition_penalty=args.repetition_penalty,
+        speculative_k=args.speculative_k,
     )
 
     audio = load_audio(args.audio_file, target_sr=config.audio.sampling_rate)
