@@ -81,9 +81,19 @@ def latest_checkpoint(base_dir: str) -> Optional[str]:
     return os.path.join(base, f"step_{max(steps)}")
 
 
-def restore_train_checkpoint(path: str, template: Any) -> Tuple[Any, int, int]:
+def restore_train_checkpoint(
+    path: str, template: Any, mesh: Any = None
+) -> Tuple[Any, int, int]:
     """Restore (state-like payload, step, epoch); `template` provides the
-    pytree structure/shapes (an abstract or concrete state)."""
+    pytree structure/shapes (an abstract or concrete state).
+
+    With ``mesh``, every restored leaf is re-placed for mesh execution:
+    leaves whose template carries a NamedSharding (e.g. ZeRO-1 Adam moments
+    over "data") keep it; everything else is replicated over the mesh.
+    Without this, Orbax hands back arrays COMMITTED to a single device,
+    which conflicts with mesh-sharded leaves inside the next jitted train
+    step ("incompatible devices for jitted computation" — found by
+    tests/test_ckpt_mesh.py)."""
     ckptr = ocp.StandardCheckpointer()
     target = {
         "enc_params": template.enc_params,
@@ -92,6 +102,20 @@ def restore_train_checkpoint(path: str, template: Any) -> Tuple[Any, int, int]:
         "epoch": jax.numpy.zeros((), jax.numpy.int32),
     }
     restored = ckptr.restore(path, target)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+
+        def _place(t, r):
+            if hasattr(t, "sharding") and isinstance(t.sharding, NamedSharding):
+                return jax.device_put(r, t.sharding)
+            return jax.device_put(r, rep)
+
+        for key in ("enc_params", "opt_state"):
+            restored[key] = jax.tree_util.tree_map(
+                _place, getattr(template, key), restored[key]
+            )
     return restored, int(restored["step"]), int(restored["epoch"])
 
 

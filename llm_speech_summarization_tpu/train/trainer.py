@@ -152,7 +152,9 @@ class Trainer:
 
     def load_checkpoint(self, path: str):
         """Resume enc params + optimizer + step/epoch (reference: trainer.py:116-132)."""
-        restored, step, epoch = ckpt.restore_train_checkpoint(path, self.state)
+        restored, step, epoch = ckpt.restore_train_checkpoint(
+            path, self.state, mesh=self.mesh
+        )
         self.state = TrainState(
             step=jnp.asarray(step, jnp.int32),
             enc_params=restored["enc_params"],

@@ -57,12 +57,36 @@ def host_cpu_fingerprint() -> str:
     return f"{platform.machine()}-{digest}"
 
 
+def apply_platform_env() -> None:
+    """Honor ``LSS_PLATFORM`` (e.g. ``cpu``) for CLI entry points.
+
+    This environment's sitecustomize imports jax and pins
+    ``JAX_PLATFORMS`` before any user code runs, so the standard env var
+    never sticks; ``jax.config.update("jax_platforms", ...)`` before first
+    backend use is the only switch that works (tests/conftest.py does the
+    same for the suite). ``LSS_PLATFORM=cpu`` plus
+    ``XLA_FLAGS=--xla_force_host_platform_device_count=8`` drives any CLI
+    on the virtual 8-device CPU mesh. No-op once a backend exists."""
+    plat = os.environ.get("LSS_PLATFORM", "")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:  # noqa: BLE001 — backends already initialized
+        pass
+
+
 def enable_compilation_cache() -> bool:
     """Idempotently point JAX at the persistent compilation cache.
 
     Must run before the first compilation (any time before first jitted
-    call is fine). Returns True iff the cache is enabled.
+    call is fine). Returns True iff the cache is enabled. Also applies
+    ``LSS_PLATFORM`` (``apply_platform_env``) so every entry point honors
+    the platform override without its own bootstrap.
     """
+    apply_platform_env()
     env = os.environ.get("LSS_COMPILE_CACHE", "")
     if env.lower() in ("0", "off", "false", "none"):
         return False
