@@ -178,6 +178,54 @@ def write_token(
     )
 
 
+def write_tokens(
+    cache: PagedKVCache,
+    k_new: jnp.ndarray,  # (L, B, T, Hkv, Dh)
+    v_new: jnp.ndarray,
+    positions: Optional[jnp.ndarray] = None,  # (B, T); default lengths + [0..T)
+    active: Optional[jnp.ndarray] = None,  # (B,) bool; inactive → null page
+) -> PagedKVCache:
+    """Scatter T fresh tokens per row into its pages at ``positions`` —
+    the speculative verification write (a (k+1)-token forward commits its
+    fresh K/V at the row's offset before knowing how many draft tokens
+    survive; the rejected tail is simply overwritten next round,
+    infer/slots.py::_spec_chunk_fn). Same contracts as ``write_token``:
+    lengths are NOT advanced, inactive rows and positions past the page
+    table sink to the null page 0. Positions may cross page boundaries —
+    each token routes through the row's table independently."""
+    L, B, T, Hkv, Dh = k_new.shape
+    ps = cache.page_size
+    mp = cache.page_table.shape[1]
+    if positions is None:
+        positions = cache.lengths[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    page_idx = positions // ps  # (B, T)
+    slot = positions % ps
+    pid = jnp.take_along_axis(cache.page_table, jnp.minimum(page_idx, mp - 1), axis=1)
+    pid = jnp.where(page_idx < mp, pid, 0)
+    if active is not None:
+        pid = jnp.where(active[:, None], pid, 0)
+    # page-major pools: (B, T) advanced indices on axes (1: page, 3: slot)
+    # are separated by the head slice, so numpy moves them to the FRONT —
+    # the update operand is (B, T, L, Hkv, Dh)
+    kt = k_new.transpose(1, 2, 0, 3, 4)
+    vt = v_new.transpose(1, 2, 0, 3, 4)
+    if cache.quantized:
+        from ..models.llama import _quantize_kv
+
+        kq, ks = _quantize_kv(kt)
+        vq, vs = _quantize_kv(vt)
+        return cache._replace(
+            k_pool=cache.k_pool.at[:, pid, :, slot].set(kq),
+            v_pool=cache.v_pool.at[:, pid, :, slot].set(vq),
+            k_scale=cache.k_scale.at[:, pid, :, slot].set(ks),
+            v_scale=cache.v_scale.at[:, pid, :, slot].set(vs),
+        )
+    return cache._replace(
+        k_pool=cache.k_pool.at[:, pid, :, slot].set(kt.astype(cache.k_pool.dtype)),
+        v_pool=cache.v_pool.at[:, pid, :, slot].set(vt.astype(cache.v_pool.dtype)),
+    )
+
+
 @jax.jit
 def write_decode_token(
     cache: PagedKVCache,

@@ -103,11 +103,6 @@ class SlotDecoder:
         # vs plain greedy under matched precision; the scheduler only uses
         # spec chunks for all-greedy batches (serve/server.py).
         self.spec_k = spec_k
-        if spec_k > 0 and paged:
-            raise ValueError(
-                "speculative decode chunks need the dense slot cache "
-                "(rejected-tail overwrite relies on per-row dense offsets)"
-            )
         if spec_k > 0 and repetition_penalty != 1.0:
             raise ValueError(
                 "speculative decode chunks verify exact greedy streams; "
@@ -134,9 +129,12 @@ class SlotDecoder:
             from .paged import PageAllocator
 
             # capacity default: ~60% of the fully-dense footprint — the
-            # point of paging is that rows rarely all run to max_len
+            # point of paging is that rows rarely all run to max_len —
+            # floored at one page per slot (+ null page) so a full house of
+            # single-page rows always admits (at mp == 1, e.g. int8's
+            # page_size bump, 0.6·worst is SMALLER than n_slots)
             worst = n_slots * pages_needed_for(self.max_len, page_size)
-            self.num_pages = num_pages or max(2, int(0.6 * worst) + 1)
+            self.num_pages = num_pages or max(2, n_slots + 1, int(0.6 * worst) + 1)
             self.allocator = PageAllocator(self.num_pages)
             # host mirror of page ownership per slot: alloc/free decisions
             # never read the device table (each read is an RPC round-trip
@@ -292,7 +290,11 @@ class SlotDecoder:
             full_rows = np.zeros((n, mp), np.int32)
             try:
                 for i, b in enumerate(budgets[:n_real]):  # padded rows: none
-                    need = pages_needed_for(T + min(b, self.max_new), ps)
+                    # + spec headroom: a speculative verification round
+                    # writes spec_k+1 fresh K/V at the row's offset before
+                    # knowing how many commit (mirrors max_len's headroom)
+                    head = self.spec_k + 1 if self.spec_k else 0
+                    need = pages_needed_for(T + min(b, self.max_new) + head, ps)
                     full_rows[i, :need] = self.allocator.alloc(need)
             except MemoryError:
                 self.allocator.free(full_rows[full_rows != 0].tolist())
@@ -736,16 +738,18 @@ class SlotDecoder:
 
         Slot-cache adaptation: unlike the engine path's uniform scalar
         offset + validity bitmask, every row writes its spec_k+1 fresh K/V
-        at ITS OWN dense offset and advances the offset by the number of
-        tokens it committed — the next round simply overwrites the rejected
-        tail (slots outside [pad, offset) are never attended). That is why
-        spec chunks require the dense slot cache: a paged row cannot re-use
-        rejected-tail slots without freeing partial pages."""
+        at ITS OWN offset and advances the offset by the number of tokens
+        it committed — the next round simply overwrites the rejected tail
+        (slots outside [pad, offset) are never attended; for the paged
+        cache the tail slots live on pages the row RESERVED at admission,
+        so overwriting them in place needs no page lifecycle either —
+        write_tokens routes each position through the row's table)."""
         key = ("spec", k_steps)
         if key not in self._chunk_fns:
             cfg, eos = self.cfg, self.eos_id
             N = self.n_slots
             K = self.spec_k
+            paged = self.paged
             from .generate import _ngram_propose
 
             @functools.partial(self._jit_state_fn, extra_out=True)
@@ -756,15 +760,29 @@ class SlotDecoder:
                     positions = (s.offsets - s.pad_lens)[:, None] + jnp.arange(
                         K + 1, dtype=jnp.int32
                     )[None, :]
-                    out = llama_forward(
-                        params, cfg,
-                        input_ids=seq,
-                        attn_mask=jnp.ones((N, K + 1), bool),
-                        positions=positions,
-                        kv_cache=s.cache,
-                        cache_offset=s.offsets,  # per-row depths
-                        kv_pad_lens=s.pad_lens,
-                    )
+                    if paged:
+                        out = llama_forward(
+                            params, cfg,
+                            input_ids=seq,
+                            attn_mask=jnp.ones((N, K + 1), bool),
+                            positions=positions,
+                            # paged verification: cached window [pad, offset)
+                            # + causal fresh block; write_tokens scatters the
+                            # K+1 fresh K/V at offsets..offsets+K
+                            kv_cache=s.cache._replace(
+                                lengths=s.offsets, pad_lens=s.pad_lens
+                            ),
+                        )
+                    else:
+                        out = llama_forward(
+                            params, cfg,
+                            input_ids=seq,
+                            attn_mask=jnp.ones((N, K + 1), bool),
+                            positions=positions,
+                            kv_cache=s.cache,
+                            cache_offset=s.offsets,  # per-row depths
+                            kv_pad_lens=s.pad_lens,
+                        )
                     preds = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
                     # the accept/commit contract (agreeing prefix + bonus,
                     # first-EOS truncation, budget caps) is SHARED with the
@@ -780,8 +798,11 @@ class SlotDecoder:
                     # slots ([last, accepted drafts…]) inside the valid
                     # window; the rejected tail is overwritten next round
                     offsets = s.offsets + n_add
+                    new_cache = out.kv_cache
+                    if paged:  # keep pool lengths synced (as _chunk_fn does)
+                        new_cache = new_cache._replace(lengths=offsets)
                     return s._replace(
-                        cache=out.kv_cache,
+                        cache=new_cache,
                         offsets=offsets,
                         last_token=last,
                         done=done,

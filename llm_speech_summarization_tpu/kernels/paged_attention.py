@@ -54,10 +54,12 @@ NEG_INF = -1e30
 def paged_reference(q, k_pool, v_pool, page_table, lengths, pad_lens, k_new, v_new,
                     k_scale=None, v_scale=None):
     """XLA oracle: gather each sequence's pages into a dense cache, run
-    masked attention over [pad, length) plus the fresh token. int8 pools
-    dequantize through the gathered per-slot scales."""
-    B = q.shape[0]
-    P, Hkv, ps, Dh = k_pool.shape
+    masked attention over [pad, length) plus the fresh tokens (T ≥ 1: the
+    T == 1 plain decode step, or a speculative (k+1)-token verification
+    forward attending the fresh block causally). int8 pools dequantize
+    through the gathered per-slot scales."""
+    B, T, Hq, Dh = q.shape
+    P, Hkv, ps, _ = k_pool.shape
     mp = page_table.shape[1]
     S = mp * ps
     # (B, mp) pages -> dense (B, Hkv, S, Dh)
@@ -71,31 +73,50 @@ def paged_reference(q, k_pool, v_pool, page_table, lengths, pad_lens, k_new, v_n
         kd = (kd.astype(jnp.float32) * ksg[..., None].astype(jnp.float32)).astype(q.dtype)
         vd = (vd.astype(jnp.float32) * vsg[..., None].astype(jnp.float32)).astype(q.dtype)
 
-    Hq = q.shape[2]
     group = Hq // Hkv
-    qg = q.reshape(B, Hkv, group, Dh)
+    # merged (T·G) query-row layout so BOTH einsums keep the exact dot
+    # shape of the T == 1 decode oracle ("bhgd,bhsd") — XLA:CPU's DotThunk
+    # rejects the bf16 variant with an extra degenerate batch dim
+    qg = (
+        q.reshape(B, T, Hkv, group, Dh)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B, Hkv, T * group, Dh)
+    )
     s = jnp.einsum("bhgd,bhsd->bhgs", qg, kd.astype(q.dtype),
                    preferred_element_type=jnp.float32) * (Dh ** -0.5)
     pos = jnp.arange(S, dtype=jnp.int32)
     valid = (pos[None, :] >= pad_lens[:, None]) & (pos[None, :] < lengths[:, None])
     s = jnp.where(valid[:, None, None, :], s, NEG_INF)
-    s_new = jnp.einsum("bhgd,bhd->bhg", qg, k_new[:, 0].astype(q.dtype),
-                       preferred_element_type=jnp.float32)[..., None] * (Dh ** -0.5)
-    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_new)
+    # fresh block: query t attends fresh key s iff s <= t. f32 operands:
+    # the block is tiny (T ≤ k+1 columns) and XLA:CPU rejects some
+    # degenerate bf16 dot shapes (T == 1 contractions)
+    kn = k_new.transpose(0, 2, 1, 3)  # (B, Hkv, T, Dh)
+    vn = v_new.transpose(0, 2, 1, 3)
+    s_new = jnp.einsum(
+        "bhgd,bhtd->bhgt", qg.astype(jnp.float32), kn.astype(jnp.float32)
+    ) * (Dh ** -0.5)
+    # merged row r is query t_q = r // group
+    tq = jnp.arange(T * group) // group  # (T·G,)
+    causal = tq[:, None] >= jnp.arange(T)[None, :]  # (T·G, Tk)
+    s_new = jnp.where(causal[None, None, :, :], s_new, NEG_INF)
+    m = jnp.maximum(
+        jnp.max(s, axis=-1, keepdims=True), jnp.max(s_new, axis=-1, keepdims=True)
+    )
     p = jnp.exp(s - m)
     p_new = jnp.exp(s_new - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True) + p_new
+    denom = jnp.sum(p, axis=-1, keepdims=True) + jnp.sum(p_new, axis=-1, keepdims=True)
     pv = jnp.einsum("bhgs,bhsd->bhgd", p.astype(q.dtype), vd.astype(q.dtype),
                     preferred_element_type=jnp.float32)
-    pv = pv + p_new * v_new[:, 0][:, :, None, :].astype(jnp.float32)
-    return (pv / denom).reshape(B, 1, Hq, Dh).astype(q.dtype)
+    pv = pv + jnp.einsum("bhgt,bhtd->bhgd", p_new, vn.astype(jnp.float32))
+    out = (pv / denom).reshape(B, Hkv, T, group, Dh).transpose(0, 2, 1, 3, 4)
+    return out.reshape(B, T, Hq, Dh).astype(q.dtype)
 
 
 def _paged_kernel(
     scal_ref,  # (B*mp + 2B,) int32: [page_table | lengths | pads]
-    q_ref,  # (bs, Hkv*G, Dh) VMEM
-    kn_ref,  # (bs, Hkv, Dh) fresh key
-    vn_ref,  # (bs, Hkv, Dh) fresh value
+    q_ref,  # (bs, Hkv*T*G, Dh) VMEM — (Hkv, T, G)-ordered query rows
+    kn_ref,  # (bs, Hkv, T, Dh) fresh keys (T = 1 decode / k+1 spec verify)
+    vn_ref,  # (bs, Hkv, T, Dh) fresh values
     k_pool_ref,  # (P, Hkv, ps, Dh) ANY (HBM), page-major; bf16/f32 or int8
     v_pool_ref,
     *rest,  # [ks_pool, vs_pool (P, Hkv, 1, ps) ANY iff quantized,] o_ref, scratch...
@@ -103,6 +124,7 @@ def _paged_kernel(
     ps: int,
     max_pages: int,
     Hkv: int,
+    T: int,
     scale: float,
     quantized: bool = False,
 ):
@@ -156,8 +178,8 @@ def _paged_kernel(
                     vs_pool_ref.at[pid], vs_buf.at[slot, s], ssem.at[slot, 1, s]
                 ).wait()
 
-    G = q_ref.shape[1] // Hkv
-    q = q_ref[:].reshape(bb, G, q_ref.shape[2])  # (bb, G, Dh)
+    G = q_ref.shape[1] // (Hkv * T)
+    q = q_ref[:].reshape(bb, T * G, q_ref.shape[2])  # (bb, T·G, Dh)
 
     issue(0, 0)
 
@@ -209,43 +231,58 @@ def _paged_kernel(
         )
         carry = (m_new, l, acc)
 
-    # fresh token folds in last (always valid)
+    # fresh tokens fold in last: query t attends fresh key s iff s <= t
+    # (T == 1 decode: a single always-valid column; T == k+1 spec verify:
+    # causal within the fresh block)
     m, l, acc = carry
-    kn = kn_ref[:].reshape(bb, 1, kn_ref.shape[-1])
-    vn = vn_ref[:].reshape(bb, 1, vn_ref.shape[-1])
+    kn = kn_ref[:].reshape(bb, T, kn_ref.shape[-1])
+    vn = vn_ref[:].reshape(bb, T, vn_ref.shape[-1])
+    # f32 operands: the fresh block is (T·G, T) — a few dozen MACs, and
+    # XLA:CPU's interpret path rejects some degenerate bf16 dot shapes
     s_new = jax.lax.dot_general(
-        q, kn.astype(q.dtype),
+        q.astype(jnp.float32), kn.astype(jnp.float32),
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale  # (bb, G, 1)
-    m_new = jnp.maximum(m, s_new)
+    ) * scale  # (bb, T·G, T)
+    if T > 1:
+        # query rows are (T, G)-ordered: row r is query t_q = r // G
+        tq = jax.lax.broadcasted_iota(jnp.int32, (T * G, T), 0) // G
+        tk = jax.lax.broadcasted_iota(jnp.int32, (T * G, T), 1)
+        s_new = jnp.where((tk <= tq)[None, :, :], s_new, NEG_INF)
+    m_new = jnp.maximum(m, jnp.max(s_new, axis=-1, keepdims=True))
     alpha = jnp.exp(m - m_new)
     p_new = jnp.exp(s_new - m_new)
-    l = alpha * l + p_new
-    acc = alpha * acc + p_new * vn.astype(jnp.float32)
+    l = alpha * l + jnp.sum(p_new, axis=-1, keepdims=True)
+    acc = alpha * acc + jax.lax.dot_general(
+        p_new, vn.astype(jnp.float32),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
     o_ref[:] = (acc / l).reshape(o_ref.shape).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def paged_decode_attention(
-    q: jnp.ndarray,  # (B, 1, Hq, Dh)
+    q: jnp.ndarray,  # (B, T, Hq, Dh) — T = 1 decode / k+1 spec verify
     k_pool: jnp.ndarray,  # (P, Hkv, page_size, Dh) page-major
     v_pool: jnp.ndarray,
     page_table: jnp.ndarray,  # (B, max_pages) int32 page ids (0-padded)
     lengths: jnp.ndarray,  # (B,) int32: tokens already in pages (per row)
     pad_lens: jnp.ndarray,  # (B,) int32: left-pad inside the logical seq
-    k_new: jnp.ndarray,  # (B, 1, Hkv, Dh) fresh token (not yet in pages)
+    k_new: jnp.ndarray,  # (B, T, Hkv, Dh) fresh tokens (not yet in pages)
     v_new: jnp.ndarray,
     k_scale: Optional[jnp.ndarray] = None,  # (P, Hkv, ps) bf16 iff int8 pools
     v_scale: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """One decode step of attention over a paged KV cache; returns
-    (B, 1, Hq, Dh). The caller scatters k_new/v_new into the pool after the
-    layer scan (write-outside-scan). int8 pools dequantize in-register
-    from per-slot scales (halves the page traffic, like the dense int8
-    cache)."""
-    B, _, Hq, Dh = q.shape
+    """Attention over a paged KV cache for T ≥ 1 fresh queries; returns
+    (B, T, Hq, Dh). Every query attends its row's cached window
+    [pad, length) plus the fresh block causally (T == k+1 is the
+    speculative verification forward, infer/slots.py). The caller scatters
+    k_new/v_new into the pool after the layer scan (write-outside-scan).
+    int8 pools dequantize in-register from per-slot scales (halves the
+    page traffic, like the dense int8 cache)."""
+    B, T, Hq, Dh = q.shape
     P, Hkv, ps, _ = k_pool.shape
     assert Hq % Hkv == 0
     group = Hq // Hkv
@@ -272,9 +309,16 @@ def paged_decode_attention(
     while bs > 1 and B % bs != 0:
         bs -= 1
 
-    qg = q.reshape(B, Hq, Dh)  # (B, Hkv·G, Dh) — head-major per sequence
-    kn = k_new.astype(q.dtype).reshape(B, Hkv, Dh)
-    vn = v_new.astype(q.dtype).reshape(B, Hkv, Dh)
+    # (Hkv, T, G)-ordered query rows: all of a kv head's queries sit in one
+    # fused compute row, so the page loop's logits broadcast one (1, ps)
+    # validity mask over T·G rows
+    qg = (
+        q.reshape(B, T, Hkv, group, Dh)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B, Hkv * T * group, Dh)
+    )
+    kn = k_new.astype(q.dtype).transpose(0, 2, 1, 3)  # (B, Hkv, T, Dh)
+    vn = v_new.astype(q.dtype).transpose(0, 2, 1, 3)
     scalars = jnp.concatenate(
         [
             page_table.astype(jnp.int32).reshape(-1),
@@ -284,14 +328,15 @@ def paged_decode_attention(
     )
 
     seq_block = lambda i, scal: (i, 0, 0)  # noqa: E731
+    seq_block4 = lambda i, scal: (i, 0, 0, 0)  # noqa: E731
     kernel = functools.partial(
-        _paged_kernel, bs=bs, ps=ps, max_pages=mp, Hkv=Hkv, scale=Dh ** -0.5,
-        quantized=quantized,
+        _paged_kernel, bs=bs, ps=ps, max_pages=mp, Hkv=Hkv, T=T,
+        scale=Dh ** -0.5, quantized=quantized,
     )
     in_specs = [
-        pl.BlockSpec((bs, Hq, Dh), seq_block),
-        pl.BlockSpec((bs, Hkv, Dh), seq_block),
-        pl.BlockSpec((bs, Hkv, Dh), seq_block),
+        pl.BlockSpec((bs, Hkv * T * group, Dh), seq_block),
+        pl.BlockSpec((bs, Hkv, T, Dh), seq_block4),
+        pl.BlockSpec((bs, Hkv, T, Dh), seq_block4),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
@@ -326,10 +371,15 @@ def paged_decode_attention(
             num_scalar_prefetch=1,
             grid=(B // bs,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((bs, Hq, Dh), seq_block),
+            out_specs=pl.BlockSpec((bs, Hkv * T * group, Dh), seq_block),
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv * T * group, Dh), q.dtype),
         interpret=interpret,
     )(*operands)
-    return out.reshape(B, 1, Hq, Dh)
+    # (Hkv, T, G)-ordered rows back to (B, T, Hq, Dh)
+    return (
+        out.reshape(B, Hkv, T, group, Dh)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B, T, Hq, Dh)
+    )

@@ -521,7 +521,9 @@ def llama_forward(
         else:
             attn_kind, attn_args = "bias", (make_attention_bias(attn_mask, attn_mask, causal=True),)
     elif is_paged:
-        assert T == 1, "the paged cache is a decode-step path (prefill goes dense→scatter)"
+        # decode (T == 1) or a speculative (k+1)-token verification forward
+        # (T > 1, infer/slots.py) — prefill still goes dense→scatter; the
+        # paged kernel attends the fresh block causally
         attn_kind = "decode_paged"
         attn_args = (kv_cache.page_table, kv_cache.lengths, kv_cache.pad_lens)
     else:
@@ -632,12 +634,18 @@ def llama_forward(
         x, ys = jax.lax.scan(scan_body, x, xs, unroll=scan_unroll)
         hidden_stack, (k_new, v_new) = ys  # k_new/v_new: (L, B, T, Hkv, Dh)
         if is_paged:
-            # scatter the fresh token into each row's page at its current
-            # length (infer/paged.py::write_token semantics: lengths are
-            # NOT advanced — the decode loop owns progression)
-            from ..infer.paged import write_token
+            # scatter the fresh token(s) into each row's pages at its
+            # current length (infer/paged.py write semantics: lengths are
+            # NOT advanced — the decode loop owns progression). T > 1 is
+            # the speculative verification write (write_tokens).
+            if T == 1:
+                from ..infer.paged import write_token
 
-            new_kv = write_token(kv_cache, k_new[:, :, 0], v_new[:, :, 0])
+                new_kv = write_token(kv_cache, k_new[:, :, 0], v_new[:, :, 0])
+            else:
+                from ..infer.paged import write_tokens
+
+                new_kv = write_tokens(kv_cache, k_new, v_new)
             k_new = v_new = None
         else:
             # cache layout (L, B, Hkv, S, Dh): one O(L·B·T) in-place write

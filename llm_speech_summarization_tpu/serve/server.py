@@ -245,12 +245,15 @@ class ContinuousBatchingEngine:
         # graceful demotion, matching the engine's own speculative gate
         # (infer/engine.py silently disables spec under a repetition
         # penalty): a CLI combo like --speculative_k with
-        # --repetition_penalty or --paged must keep serving, not die on
-        # SlotDecoder's (correct) library-contract ValueError.
+        # --repetition_penalty must keep serving, not die on SlotDecoder's
+        # (correct) library-contract ValueError. spec x paged composes
+        # (paged verification forwards + write_tokens, infer/slots.py).
         rep = getattr(engine, "repetition_penalty", 1.0)
-        if spec_k > 0 and (paged or rep != 1.0):
-            why = "paged KV cache" if paged else f"repetition_penalty={rep}"
-            print(f"speculative chunks disabled: incompatible with {why}")
+        if spec_k > 0 and rep != 1.0:
+            print(
+                "speculative chunks disabled: incompatible with "
+                f"repetition_penalty={rep}"
+            )
             spec_k = 0
         self.chunk_steps = chunk_steps
         # adaptive ceiling (_pick_chunk): chunks grow toward this by powers

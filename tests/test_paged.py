@@ -97,6 +97,99 @@ def test_paged_kernel_bf16_interpret():
     assert diff.max() < 2e-2, diff.max()
 
 
+def _random_paged_case_T(seed=0, B=2, T=3, Hq=4, Hkv=2, Dh=128, ps=64, mp=3):
+    """Multi-query variant (speculative verification: T = k+1 fresh
+    tokens per row)."""
+    rng = np.random.RandomState(seed)
+    P = 1 + B * mp
+    k_pool = rng.randn(P, Hkv, ps, Dh).astype(np.float32)
+    v_pool = rng.randn(P, Hkv, ps, Dh).astype(np.float32)
+    ids = np.arange(1, 1 + B * mp).reshape(B, mp).astype(np.int32)
+    lengths = np.array([ps * mp - 7, ps + 3], np.int32)
+    pads = np.array([0, 5], np.int32)
+    q = rng.randn(B, T, Hq, Dh).astype(np.float32)
+    k_new = rng.randn(B, T, Hkv, Dh).astype(np.float32)
+    v_new = rng.randn(B, T, Hkv, Dh).astype(np.float32)
+    return map(jnp.asarray, (q, k_pool, v_pool, ids, lengths, pads, k_new, v_new))
+
+
+def test_paged_reference_multi_query_matches_dense_attention():
+    """T > 1 oracle (spec verification): every query attends the cached
+    window [pad, length) plus the fresh block causally — checked against
+    an independent dense construction with a hand-built bias."""
+    T = 3
+    q, k_pool, v_pool, ids, lengths, pads, k_new, v_new = _random_paged_case_T(T=T)
+    out = paged_reference(q, k_pool, v_pool, ids, lengths, pads, k_new, v_new)
+
+    B, _, Hq, Dh = q.shape
+    _, Hkv, ps, _ = k_pool.shape
+    mp = ids.shape[1]
+    S = mp * ps
+    kd = np.zeros((B, S + T, Hkv, Dh), np.float32)
+    vd = np.zeros((B, S + T, Hkv, Dh), np.float32)
+    for b in range(B):
+        for t in range(mp):
+            kd[b, t * ps : (t + 1) * ps] = np.asarray(k_pool)[ids[b, t]].transpose(1, 0, 2)
+            vd[b, t * ps : (t + 1) * ps] = np.asarray(v_pool)[ids[b, t]].transpose(1, 0, 2)
+    kd[:, S:] = np.asarray(k_new)
+    vd[:, S:] = np.asarray(v_new)
+
+    pos = np.arange(S + T)
+    valid = np.zeros((B, T, S + T), bool)
+    for b in range(B):
+        for tq in range(T):
+            valid[b, tq, :S] = (pos[:S] >= pads[b]) & (pos[:S] < lengths[b])
+            valid[b, tq, S : S + tq + 1] = True
+    bias = jnp.where(jnp.asarray(valid)[:, None, :, :], 0.0, -1e30)
+    ref = dot_product_attention(q, jnp.asarray(kd), jnp.asarray(vd), bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_kernel_multi_query_matches_reference_interpret():
+    """Pallas kernel at T = 3 (causal fresh-block fold) == XLA oracle."""
+    q, k_pool, v_pool, ids, lengths, pads, k_new, v_new = _random_paged_case_T(seed=4)
+    out_k = paged_decode_attention(
+        q, k_pool, v_pool, ids, lengths, pads, k_new, v_new, interpret=True
+    )
+    out_r = paged_reference(q, k_pool, v_pool, ids, lengths, pads, k_new, v_new)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r), rtol=2e-5, atol=2e-5)
+
+
+def test_write_tokens_matches_sequential_write_token():
+    """write_tokens (the spec verification write, T tokens per row,
+    page-boundary crossings included) == T sequential write_token calls."""
+    from llm_speech_summarization_tpu.infer.paged import write_token, write_tokens
+
+    L, Hkv, Dh, ps, mp, B, T = 2, 2, 8, 4, 4, 3, 3
+    rng = np.random.RandomState(0)
+    cache = init_paged_cache(
+        L, Hkv, Dh, num_pages=1 + B * mp, page_size=ps, batch=B,
+        max_pages_per_seq=mp, dtype=jnp.float32,
+    )
+    ids = np.arange(1, 1 + B * mp).reshape(B, mp).astype(np.int32)
+    cache = cache._replace(page_table=jnp.asarray(ids))
+    # positions straddle a page boundary on row 0 (3,4,5), run mid-page on
+    # row 1, and run off the end of the table on row 2 (→ null page)
+    positions = np.array(
+        [[3, 4, 5], [6, 7, 8], [mp * ps - 2, mp * ps - 1, mp * ps]], np.int32
+    )
+    k_new = rng.randn(L, B, T, Hkv, Dh).astype(np.float32)
+    v_new = rng.randn(L, B, T, Hkv, Dh).astype(np.float32)
+
+    got = write_tokens(cache, jnp.asarray(k_new), jnp.asarray(v_new),
+                       positions=jnp.asarray(positions))
+    want = cache
+    for t in range(T):
+        want = write_token(
+            want, jnp.asarray(k_new[:, :, t]), jnp.asarray(v_new[:, :, t]),
+            positions=jnp.asarray(positions[:, t]),
+        )
+    np.testing.assert_array_equal(np.asarray(got.k_pool), np.asarray(want.k_pool))
+    np.testing.assert_array_equal(np.asarray(got.v_pool), np.asarray(want.v_pool))
+    # null page absorbed row 2's off-table token; real pages 1.. unchanged
+    # by it (write_token routes off-table positions to page 0 too)
+
+
 def test_page_allocator():
     a = PageAllocator(8)  # pages 1..7 usable
     assert a.free_pages == 7

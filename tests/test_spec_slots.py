@@ -38,10 +38,12 @@ def _prompts(params, seed=3, B=3, L=16, pads=(0, 5, 2)):
     return jnp.asarray(emb), jnp.asarray(mask)
 
 
-def _make(params, eos, spec_k=0, n_slots=4, max_new=24):
+def _make(params, eos, spec_k=0, n_slots=4, max_new=24, paged=False,
+          cache_dtype=jnp.float32):
     return SlotDecoder(
         params, TINY, eos_id=eos, n_slots=n_slots, max_prompt_len=64,
-        max_new_tokens=max_new, cache_dtype=jnp.float32, spec_k=spec_k,
+        max_new_tokens=max_new, cache_dtype=cache_dtype, spec_k=spec_k,
+        paged=paged,
     )
 
 
@@ -131,12 +133,72 @@ def test_spec_slot_reuse_after_harvest(params):
 
 
 def test_spec_contract_errors(params):
-    with pytest.raises(ValueError, match="dense slot cache"):
-        SlotDecoder(params, TINY, eos_id=0, spec_k=2, paged=True,
-                    cache_dtype=jnp.float32)
     with pytest.raises(ValueError, match="repetition_penalty"):
         SlotDecoder(params, TINY, eos_id=0, spec_k=2,
                     repetition_penalty=1.2, cache_dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("cache_dtype", [jnp.float32, jnp.int8])
+def test_spec_paged_chunks_match_paged_plain(params, cache_dtype):
+    """spec × paged composes: speculative chunks over the PAGED cache emit
+    exactly the plain paged chunk path's tokens (the verification forward
+    attends [pad, offset) through the page tables + the fresh block
+    causally; write_tokens scatters the k+1 fresh K/V through the tables;
+    rejected tails are overwritten in place on reserved pages). int8 pools
+    exercise the quantized write_tokens path."""
+    embeds, mask = _prompts(params, seed=9)
+    budgets = [24, 7, 16]
+    want = _run(
+        _make(params, eos=511, paged=True, cache_dtype=cache_dtype),
+        embeds, mask, [0, 1, 2], budgets, False,
+    )
+    for k in (2, 4):
+        got = _run(
+            _make(params, eos=511, spec_k=k, paged=True, cache_dtype=cache_dtype),
+            embeds, mask, [0, 1, 2], budgets, True,
+        )
+        _assert_same(got, want)
+
+
+def test_spec_paged_matches_dense_spec(params):
+    """Paged spec chunks == dense spec chunks == dense plain chunks at
+    matched (f32) precision — one three-way token identity."""
+    embeds, mask = _prompts(params, seed=13)
+    budgets = [20, 9, 20]
+    want = _run(_make(params, eos=511), embeds, mask, [0, 1, 2], budgets, False)
+    dense_spec = _run(
+        _make(params, eos=511, spec_k=3), embeds, mask, [0, 1, 2], budgets, True
+    )
+    paged_spec = _run(
+        _make(params, eos=511, spec_k=3, paged=True), embeds, mask,
+        [0, 1, 2], budgets, True,
+    )
+    _assert_same(dense_spec, want)
+    _assert_same(paged_spec, want)
+
+
+def test_spec_paged_slot_reuse_and_eos(params):
+    """Paged spec lifecycle: EOS mid-draft truncates exactly like plain
+    paged, and a harvested slot's pages serve a new request (verification
+    headroom writes stay on the row's reserved pages)."""
+    embeds, mask = _prompts(params, seed=11, pads=(0, 0, 0))
+    free = _run(
+        _make(params, eos=-1, paged=True), embeds, mask, [0, 1, 2], [24] * 3,
+        False,
+    )
+    eos = int(free[0][0][7])
+    want = _run(
+        _make(params, eos=eos, paged=True), embeds, mask, [0, 1, 2], [24] * 3,
+        False,
+    )
+    assert min(n for _, n in want.values()) < 24, "eos must actually trigger"
+    dec = _make(params, eos=eos, spec_k=3, paged=True, n_slots=2)
+    got = _run(dec, embeds[:2], mask[:2], [0, 1], [24, 24], True)
+    got.update(
+        {2 if s == 0 else s: (t, n) for s, (t, n) in
+         _run(dec, embeds[2:3], mask[2:3], [0], [24], True).items()}
+    )
+    _assert_same(got, want)
 
 
 def test_spec_governor_demotes_and_probes():
@@ -166,9 +228,10 @@ def test_spec_governor_demotes_and_probes():
 
 
 def test_spec_flag_demotes_gracefully_with_incompatible_modes():
-    """--speculative_k with --paged or a repetition penalty must SERVE
-    (spec silently disabled, like the engine's own gate), not die on the
-    SlotDecoder library-contract ValueError at startup."""
+    """--speculative_k with a repetition penalty must SERVE (spec silently
+    disabled, like the engine's own gate), not die on the SlotDecoder
+    library-contract ValueError at startup — while --speculative_k with
+    --paged now COMPOSES (paged verification forwards + write_tokens)."""
     from llm_speech_summarization_tpu.configs import load_config
     from llm_speech_summarization_tpu.infer.engine import LLMSpeechTextInference
     from llm_speech_summarization_tpu.serve.server import (
@@ -179,8 +242,8 @@ def test_spec_flag_demotes_gracefully_with_incompatible_modes():
     cb = ContinuousBatchingEngine(engine, n_slots=2, spec_k=3, paged=True,
                                   max_prompt_len=128, max_new_tokens=16)
     try:
-        assert cb.decoder.spec_k == 0 and cb.decoder.paged
-        assert cb.spec_governor is None
+        assert cb.decoder.spec_k == 3 and cb.decoder.paged
+        assert cb.spec_governor is not None
     finally:
         cb.shutdown()
 
