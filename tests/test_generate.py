@@ -181,6 +181,35 @@ def test_pipelined_upload_path_matches_fused():
     assert piped_t == fused_t
 
 
+def test_batches_pipeline_matches_per_batch_calls():
+    """generate_audio_response_batches (depth-1 upload/encode pipeline)
+    returns exactly what per-batch generate_audio_response_batch calls do —
+    the pipeline reorders uploads, never compute. Includes ragged batch
+    sizes and an additional text prompt."""
+    cfg = load_config(TINY_YAML)
+    eng = LLMSpeechTextInference(cfg)
+    rng = np.random.RandomState(21)
+    batches = [
+        [(0.05 * rng.randn(8000 + 500 * i + 300 * j)).astype(np.float32)
+         for j in range(n)]
+        for i, n in enumerate([3, 2, 4])
+    ]
+    got = eng.generate_audio_response_batches(batches, max_new_tokens=8)
+    want = [eng.generate_audio_response_batch(b, max_new_tokens=8) for b in batches]
+    assert got == want
+    got_t = eng.generate_audio_response_batches(
+        batches, additional_text_prompt="Summarize: ", max_new_tokens=8
+    )
+    want_t = [
+        eng.generate_audio_response_batch(
+            b, additional_text_prompt="Summarize: ", max_new_tokens=8
+        )
+        for b in batches
+    ]
+    assert got_t == want_t
+    assert eng.generate_audio_response_batches([], max_new_tokens=8) == []
+
+
 def test_repetition_penalty_breaks_greedy_loops():
     """The reference documents greedy repetition loops as a known failure
     ('crop the output manually', reference inference.py:169-171). With
