@@ -124,36 +124,62 @@ class BatchingEngine:
             self._queue.put(req)
         return batch
 
+    def _build_wave(self):
+        """Drain one compatible wave off the queue and build its prompts
+        (host upload + encoder + splice). Returns None when the queue stayed
+        empty, or (batch, embeds_or_None, mask, budget, sampling, error).
+        A build failure is carried in ``error`` so the LOOP fails exactly
+        that wave's requests, never the scheduler thread."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return None
+        batch = self._drain_compatible(first)
+        budget = max(r.max_new_tokens for r in batch)
+        # per-request sampling params are TRACED inputs of the generate
+        # program (infer/generate.py::greedy_generate), so mixed
+        # greedy/sampling batches share one compiled program; None
+        # (all-greedy) keeps the speculative-decode fast path
+        sampling = [r.sampling_tuple for r in batch]
+        if all(s is None for s in sampling):
+            sampling = None
+        try:
+            if first.kind == "text":
+                embeds, mask = self.engine.build_text_prompt_batch(
+                    [r.payload for r in batch]
+                )
+            else:
+                embeds, mask = self.engine.build_audio_prompt_batch(
+                    [r.payload for r in batch],
+                    additional_text_prompt=first.text_prompt,
+                )
+        except Exception as e:  # noqa: BLE001 — fail the wave, not the loop
+            return batch, None, None, budget, sampling, f"{type(e).__name__}: {e}"
+        return batch, embeds, mask, budget, sampling, None
+
     def _loop(self):
-        while not self._stop.is_set():
+        # depth-1 pipelining (same shape as the continuous scheduler's and
+        # engine.generate_audio_response_batches'): wave i+1's prompt build
+        # — host upload + encoder forward — runs on the builder thread
+        # WHILE wave i's fused prefill+decode program occupies the chip, so
+        # back-to-back waves stop paying build latency serially
+        from concurrent.futures import ThreadPoolExecutor
+
+        builder = ThreadPoolExecutor(max_workers=1)
+        fut = None
+
+        def finish(wave):
+            batch, embeds, mask, budget, sampling, err = wave
             try:
-                first = self._queue.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            batch = self._drain_compatible(first)
-            try:
-                budget = max(r.max_new_tokens for r in batch)
-                # per-request sampling params are TRACED inputs of the
-                # generate program (infer/generate.py::greedy_generate), so
-                # mixed greedy/sampling batches share one compiled program;
-                # None (all-greedy) keeps the speculative-decode fast path
-                sampling = [r.sampling_tuple for r in batch]
-                if all(s is None for s in sampling):
-                    sampling = None
-                if first.kind == "text":
-                    outs = self.engine.generate_text_response_batch(
-                        [r.payload for r in batch], max_new_tokens=budget,
-                        sampling=sampling,
-                    )
+                if err is None:
+                    outs = self.engine._generate_from_embeds(
+                        embeds, mask, budget, sampling=sampling
+                    )[: len(batch)]
+                    for r, out in zip(batch, outs):
+                        r.result = out
                 else:
-                    outs = self.engine.generate_audio_response_batch(
-                        [r.payload for r in batch],
-                        additional_text_prompt=first.text_prompt,
-                        max_new_tokens=budget,
-                        sampling=sampling,
-                    )
-                for r, out in zip(batch, outs):
-                    r.result = out
+                    for r in batch:
+                        r.error = err
             except Exception as e:  # surface per-request
                 for r in batch:
                     r.error = f"{type(e).__name__}: {e}"
@@ -162,6 +188,23 @@ class BatchingEngine:
                 self.requests_served += len(batch)
                 for r in batch:
                     r.event.set()
+
+        try:
+            while not self._stop.is_set():
+                wave = fut.result() if fut is not None else self._build_wave()
+                fut = builder.submit(self._build_wave)
+                if wave is not None:
+                    finish(wave)
+            # drain the in-flight prebuild so its requests don't hang on
+            # their submit() timeout at shutdown
+            if fut is not None:
+                wave = fut.result()
+                if wave is not None:
+                    for r in wave[0]:
+                        r.error = "server shutting down"
+                        r.event.set()
+        finally:
+            builder.shutdown(wait=False)
 
 
 class _SpecGovernor:

@@ -292,6 +292,57 @@ def test_single_request_too_big_for_pool_fails_loudly():
         server.shutdown()
 
 
+def test_request_level_pipelined_waves():
+    """The request-level batcher's depth-1 build pipeline: waves with
+    different group keys run back-to-back with wave i+1's prompt build
+    overlapped under wave i's generate — results must equal direct engine
+    calls, and a wave whose BUILD fails errors only its own requests."""
+    from llm_speech_summarization_tpu.serve.server import BatchingEngine, _Request
+
+    cfg = load_config(TINY_YAML)
+    engine = LLMSpeechTextInference(cfg)
+    be = BatchingEngine(engine, max_batch=4, max_wait_ms=40)
+    try:
+        rng = np.random.RandomState(5)
+        wavs = [(0.05 * rng.randn(8000 + 400 * i)).astype(np.float32)
+                for i in range(4)]
+        # two incompatible groups (different budget buckets) → two waves
+        reqs = [
+            _Request(kind="audio", payload=w, text_prompt="",
+                     max_new_tokens=8 if i < 2 else 72)
+            for i, w in enumerate(wavs)
+        ]
+        outs = [None] * 4
+        threads = [
+            threading.Thread(target=lambda i=i, r=r: outs.__setitem__(
+                i, be.submit(r, timeout=600)))
+            for i, r in enumerate(reqs)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        want_short = engine.generate_audio_response_batch(wavs[:2], max_new_tokens=8)
+        want_long = engine.generate_audio_response_batch(wavs[2:], max_new_tokens=72)
+        assert outs == want_short + want_long
+
+        # a build failure fails ITS wave's requests and the loop survives
+        orig = engine.build_audio_prompt_batch
+        engine.build_audio_prompt_batch = lambda *a, **k: (_ for _ in ()).throw(
+            ValueError("boom")
+        )
+        bad = _Request(kind="audio", payload=wavs[0], text_prompt="",
+                       max_new_tokens=8)
+        with pytest.raises(RuntimeError, match="boom"):
+            be.submit(bad, timeout=600)
+        engine.build_audio_prompt_batch = orig
+        ok = _Request(kind="audio", payload=wavs[0], text_prompt="",
+                      max_new_tokens=8)
+        assert be.submit(ok, timeout=600) == want_short[0]
+    finally:
+        be.shutdown()
+
+
 def test_metrics_endpoint(server):
     with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/metrics") as resp:
         assert resp.status == 200
