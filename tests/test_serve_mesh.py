@@ -160,6 +160,38 @@ def test_tp_spec_chunks_token_identical(engines):
 
 
 @needs_8_devices
+def test_tp_paged_spec_chunks_token_identical(engines):
+    """The full deploy triple — TP × paged KV × speculative chunks: the
+    (k+1)-token verification forward attends through head-sharded
+    page-major pools, write_tokens scatters sharded, and tokens match the
+    unsharded dense plain decoder exactly."""
+    ref, tp, mesh = engines
+    texts = ["triple composition serving", "a quiet mountain stream"]
+    budget = 12
+
+    want = ref.generate_text_response_batch(texts, max_new_tokens=budget)
+
+    dec = SlotDecoder(
+        tp.llm_params, tp.llm_cfg, eos_id=tp.tokenizer.eos_id, n_slots=4,
+        max_prompt_len=256, max_new_tokens=32,
+        cache_dtype=tp.cache_dtype, mesh=tp.mesh, spec_k=3,
+        paged=True, page_size=64,
+    )
+    embeds, mask = tp.build_text_prompt_batch(texts)
+    dec.admit(embeds[:2], mask[:2], [0, 1], [budget, budget])
+    for _ in range(budget):
+        if dec.live_count() == 0:
+            break
+        dec.decode_chunk(3, spec=True)
+    got = {}
+    for slot, tokens, cnt in dec.harvest():
+        got[slot] = tp.tokenizer.decode(
+            tokens[: min(cnt, budget)].tolist(), skip_special_tokens=True
+        )
+    assert [got[0], got[1]] == want
+
+
+@needs_8_devices
 def test_tp_http_e2e_on_mesh(engines):
     """Full HTTP serving (continuous scheduler + streaming) with the engine
     on the mesh: audio and text endpoints answer; streamed deltas
