@@ -406,7 +406,8 @@ class LLMSpeechTextInference:
         batches: Sequence[Sequence[np.ndarray]],
         additional_text_prompt: str = "",
         max_new_tokens: int = 256,
-        sampling=None,
+        sampling: Optional[Sequence] = None,  # per-batch, aligned with batches
+        ctc_pool_ranges: Optional[Sequence] = None,  # per-batch, ditto
     ) -> List[List[str]]:
         """Bulk audio generation over a stream of batches, pipelined one
         batch deep: batch i+1's host→device upload + encoder forward runs
@@ -426,22 +427,30 @@ class LLMSpeechTextInference:
         batches = list(batches)
         if not batches:
             return []
+        n = len(batches)
+        samp = list(sampling) if sampling is not None else [None] * n
+        ranges = list(ctc_pool_ranges) if ctc_pool_ranges is not None else [None] * n
+        if len(samp) != n or len(ranges) != n:
+            raise ValueError(
+                "sampling / ctc_pool_ranges must align with batches "
+                f"(got {len(samp)}/{len(ranges)} for {n} batches)"
+            )
+
+        def build(i):
+            return self.build_audio_prompt_batch(
+                batches[i], additional_text_prompt, ctc_pool_ranges=ranges[i]
+            )
+
         results: List[List[str]] = []
         with ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(
-                self.build_audio_prompt_batch, batches[0], additional_text_prompt
-            )
+            fut = ex.submit(build, 0)
             for i, batch in enumerate(batches):
                 embeds, mask = fut.result()
-                if i + 1 < len(batches):
-                    fut = ex.submit(
-                        self.build_audio_prompt_batch,
-                        batches[i + 1],
-                        additional_text_prompt,
-                    )
+                if i + 1 < n:
+                    fut = ex.submit(build, i + 1)
                 results.append(
                     self._generate_from_embeds(
-                        embeds, mask, max_new_tokens, sampling=sampling
+                        embeds, mask, max_new_tokens, sampling=samp[i]
                     )[: len(batch)]
                 )
         return results

@@ -141,40 +141,14 @@ def write_token(
     (lengths are NOT advanced — the caller owns progression, mirroring the
     dense path where the decode loop owns cache offsets). Inactive rows —
     and rows whose target page is unallocated — write the null page 0, a
-    safe sink no valid table entry references."""
-    ps = cache.page_size
-    pos = cache.lengths if positions is None else positions
-    page_idx = pos // ps
-    mp = cache.page_table.shape[1]
-    slot = pos % ps
-    pid = jnp.take_along_axis(
-        cache.page_table, jnp.minimum(page_idx, mp - 1)[:, None], axis=1
-    )[:, 0]
-    # positions past the page table sink to the null page instead of
-    # silently overwriting the row's LAST page (in-tree callers can't reach
-    # this — budgets bound offsets — but the clamp hid corruption)
-    pid = jnp.where(page_idx < mp, pid, 0)
-    if active is not None:
-        pid = jnp.where(active, pid, 0)
-    # page-major pools: advanced indices on axes (1: page, 3: slot) are
-    # separated by the head slice, so numpy moves them to the FRONT — the
-    # update operand is (B, L, Hkv, Dh)
-    kt = k_new.transpose(1, 0, 2, 3)  # (B, L, Hkv, Dh)
-    vt = v_new.transpose(1, 0, 2, 3)
-    if cache.quantized:
-        from ..models.llama import _quantize_kv
-
-        kq, ks = _quantize_kv(kt)
-        vq, vs = _quantize_kv(vt)
-        return cache._replace(
-            k_pool=cache.k_pool.at[:, pid, :, slot].set(kq),
-            v_pool=cache.v_pool.at[:, pid, :, slot].set(vq),
-            k_scale=cache.k_scale.at[:, pid, :, slot].set(ks),
-            v_scale=cache.v_scale.at[:, pid, :, slot].set(vs),
-        )
-    return cache._replace(
-        k_pool=cache.k_pool.at[:, pid, :, slot].set(kt.astype(cache.k_pool.dtype)),
-        v_pool=cache.v_pool.at[:, pid, :, slot].set(vt.astype(cache.v_pool.dtype)),
+    safe sink no valid table entry references. One routing rule, one
+    implementation: this is ``write_tokens`` at T = 1."""
+    return write_tokens(
+        cache,
+        k_new[:, :, None],
+        v_new[:, :, None],
+        positions=None if positions is None else positions[:, None],
+        active=active,
     )
 
 

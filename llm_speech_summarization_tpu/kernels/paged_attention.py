@@ -202,7 +202,7 @@ def _paged_kernel(
             q, k.astype(q.dtype),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale  # (bb, G, ps)
+        ) * scale  # (bb, T·G, ps)
         if quantized:
             # in-register dequant: per-slot K scales fold into the logits,
             # V scales into the probabilities (same trick as the dense int8

@@ -636,16 +636,11 @@ def llama_forward(
         if is_paged:
             # scatter the fresh token(s) into each row's pages at its
             # current length (infer/paged.py write semantics: lengths are
-            # NOT advanced — the decode loop owns progression). T > 1 is
-            # the speculative verification write (write_tokens).
-            if T == 1:
-                from ..infer.paged import write_token
+            # NOT advanced — the decode loop owns progression). T == 1 is
+            # the decode step, T > 1 the speculative verification write.
+            from ..infer.paged import write_tokens
 
-                new_kv = write_token(kv_cache, k_new[:, :, 0], v_new[:, :, 0])
-            else:
-                from ..infer.paged import write_tokens
-
-                new_kv = write_tokens(kv_cache, k_new, v_new)
+            new_kv = write_tokens(kv_cache, k_new, v_new)
             k_new = v_new = None
         else:
             # cache layout (L, B, Hkv, S, Dh): one O(L·B·T) in-place write

@@ -192,7 +192,19 @@ class BatchingEngine:
         try:
             while not self._stop.is_set():
                 wave = fut.result() if fut is not None else self._build_wave()
-                fut = builder.submit(self._build_wave)
+                # prebuild ONLY when requests are already queued (deep-queue
+                # regime: the next wave is full regardless, so snapshotting
+                # it early costs nothing and hides its build under this
+                # wave's generate). With an empty queue, prebuilding would
+                # close the next wave's 20 ms drain window one generate
+                # EARLY — a request arriving mid-generate would miss wave
+                # i+1 and wait a full extra generate — so fall back to the
+                # serial build-after-generate order instead.
+                fut = (
+                    builder.submit(self._build_wave)
+                    if not self._queue.empty()
+                    else None
+                )
                 if wave is not None:
                     finish(wave)
             # drain the in-flight prebuild so its requests don't hang on
