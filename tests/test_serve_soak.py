@@ -26,8 +26,8 @@ BUDGETS = (4, 8, 16)
 
 
 @pytest.mark.parametrize(
-    "paged,spec_k", [(False, 0), (True, 0), (False, 3)],
-    ids=["dense", "paged", "spec"],
+    "paged,spec_k", [(False, 0), (True, 0), (False, 3), (True, 3)],
+    ids=["dense", "paged", "spec", "paged-spec"],
 )
 def test_sustained_mixed_load_soak(paged, spec_k):
     cfg = load_config(TINY_YAML)
