@@ -40,6 +40,9 @@ def main(argv=None):
                         "requests; 0 = off). Drives the engine's one-shot "
                         "path AND the continuous scheduler's speculative "
                         "decode chunks (infer/slots.py spec_k)")
+    parser.add_argument("--drain_timeout", type=float, default=30.0,
+                        help="SIGTERM/SIGINT: seconds to let in-flight "
+                        "requests finish (new requests get 503) before exit")
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel degree: shard the frozen LLM "
                         "over a 'model' mesh axis of this size (e.g. --tp 8 "
@@ -72,6 +75,7 @@ def main(argv=None):
             max_new_tokens=args.max_new_tokens,
             spec_k=args.speculative_k,
         ),
+        drain_timeout=args.drain_timeout,
         audio_encoder_checkpoint=args.audio_encoder_checkpoint,
         repetition_penalty=args.repetition_penalty,
         speculative_k=args.speculative_k,

@@ -83,6 +83,7 @@ class BatchingEngine:
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
+        self._inflight = 0  # int += is GIL-atomic enough for a drain probe
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self.batches_run = 0
@@ -91,12 +92,20 @@ class BatchingEngine:
         self._thread.start()
 
     def submit(self, req: _Request, timeout: float = 300.0) -> str:
-        self._queue.put(req)
-        if not req.event.wait(timeout):
-            raise TimeoutError("generation timed out")
-        if req.error:
-            raise RuntimeError(req.error)
-        return req.result  # type: ignore[return-value]
+        self._inflight += 1
+        try:
+            self._queue.put(req)
+            if not req.event.wait(timeout):
+                raise TimeoutError("generation timed out")
+            if req.error:
+                raise RuntimeError(req.error)
+            return req.result  # type: ignore[return-value]
+        finally:
+            self._inflight -= 1
+
+    def idle(self) -> bool:
+        """True when no request is queued or mid-generate (drain probe)."""
+        return self._inflight == 0 and self._queue.empty()
 
     def shutdown(self):
         self._stop.set()
@@ -363,6 +372,14 @@ class ContinuousBatchingEngine:
         if req.error:
             raise RuntimeError(req.error)
         return req.result  # type: ignore[return-value]
+
+    def idle(self) -> bool:
+        """True when nothing is queued, staged, or decoding (drain probe)."""
+        return (
+            self._queue.empty()
+            and self._prepared.qsize() == 0
+            and not self._by_slot
+        )
 
     def warmup(self, audio_seconds=(10.0,), timeout: float = 600.0) -> None:
         """Pre-compile every admission batch shape (standard TPU-serving
@@ -854,6 +871,7 @@ class SummarizationServer:
             self.batcher = BatchingEngine(engine, max_batch, max_wait_ms)
         self.target_sr = engine.config.audio.sampling_rate
         self._started = time.monotonic()
+        self._draining = False
         outer = self
 
         self.warmup = getattr(self.batcher, "warmup", lambda **kw: None)
@@ -920,8 +938,10 @@ class SummarizationServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    self._respond(200, {
-                        "status": "ok",
+                    # 503 while draining: load balancers deroute the pod
+                    # while in-flight requests finish
+                    self._respond(503 if outer._draining else 200, {
+                        "status": "draining" if outer._draining else "ok",
                         "batches_run": outer.batcher.batches_run,
                         "requests_served": outer.batcher.requests_served,
                     })
@@ -931,6 +951,9 @@ class SummarizationServer:
                     self._respond(404, {"error": "not found"})
 
             def do_POST(self):
+                if outer._draining:
+                    self._respond(503, {"error": "server draining"})
+                    return
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(length) or b"{}")
@@ -1033,18 +1056,45 @@ class SummarizationServer:
         t.start()
         return t
 
+    def drain(self, timeout: float = 30.0, poll_s: float = 0.25) -> bool:
+        """Graceful stop: refuse new requests (POSTs get 503, /healthz flips
+        to 503 "draining" so load balancers deroute), wait for queued and
+        in-flight work to finish, then shut down. Returns True if the
+        scheduler went idle within ``timeout`` (False = deadline hit and
+        remaining work was cut off by shutdown)."""
+        self._draining = True
+        deadline = time.monotonic() + timeout
+        idle = getattr(self.batcher, "idle", lambda: True)
+        drained = False
+        while time.monotonic() < deadline:
+            if idle():
+                drained = True
+                break
+            time.sleep(poll_s)
+        self.shutdown()
+        return drained
+
     def shutdown(self):
         self.httpd.shutdown()
         self.batcher.shutdown()
 
 
 def serve(config, host: str = "0.0.0.0", port: int = 8080, warmup: bool = True,
-          server_kwargs=None, **engine_kwargs):
-    """Build an engine from config and serve forever. ``warmup`` pre-compiles
-    every admission batch shape before accepting traffic (each first
-    occurrence otherwise stalls live requests for an XLA compile).
+          server_kwargs=None, drain_timeout: float = 30.0, **engine_kwargs):
+    """Build an engine from config and serve until SIGTERM/SIGINT. ``warmup``
+    pre-compiles every admission batch shape before accepting traffic (each
+    first occurrence otherwise stalls live requests for an XLA compile).
     ``server_kwargs`` pass through to SummarizationServer (scheduler
-    choice, slots, paged, budgets)."""
+    choice, slots, paged, budgets).
+
+    Signals drain gracefully: new requests get 503, /healthz flips to 503
+    so load balancers deroute, in-flight work finishes (up to
+    ``drain_timeout`` seconds), then the process exits — preemption or a
+    rolling deploy never cuts a response mid-stream, and the TPU claim is
+    released promptly (an orphaned server blocks every other user of the
+    chip)."""
+    import signal
+
     from ..infer.engine import LLMSpeechTextInference
 
     engine = LLMSpeechTextInference(config, **engine_kwargs)
@@ -1054,5 +1104,20 @@ def serve(config, host: str = "0.0.0.0", port: int = 8080, warmup: bool = True,
     if warmup:
         print("warming up (compiling admission shapes)...")
         server.warmup()
+
+    def _on_signal(signum, frame):
+        if server._draining:  # second signal: stop now
+            threading.Thread(target=server.shutdown, daemon=True).start()
+            return
+        print(f"signal {signum}: draining (503 for new requests, "
+              f"up to {drain_timeout:.0f}s for in-flight work)...")
+        threading.Thread(
+            target=server.drain, kwargs=dict(timeout=drain_timeout),
+            daemon=True,
+        ).start()
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
     print(f"serving on {host}:{server.port}")
-    server.serve_forever()
+    server.serve_forever()  # returns when drain/shutdown completes
+    print("drained, exiting")

@@ -343,6 +343,57 @@ def test_request_level_pipelined_waves():
         be.shutdown()
 
 
+def test_graceful_drain():
+    """drain(): /healthz flips to 503 'draining', new POSTs get 503, an
+    in-flight request still completes, and the server shuts down idle."""
+    import time
+
+    cfg = load_config(TINY_YAML)
+    engine = LLMSpeechTextInference(cfg)
+    srv = SummarizationServer(engine, host="127.0.0.1", port=0, continuous=True,
+                              n_slots=2, max_new_tokens=64, max_prompt_len=256)
+    srv.start_background()
+    rng = np.random.RandomState(9)
+    wav = (0.05 * rng.randn(8000)).astype(np.float32)
+
+    inflight = {}
+
+    def long_req():
+        inflight["r"] = _post(srv.port, "/v1/audio_summary",
+                              {"audio": wav.tolist(), "max_new_tokens": 48})
+
+    t = threading.Thread(target=long_req)
+    t.start()
+    # wait until the request is actually admitted (live slot), then drain
+    for _ in range(200):
+        if srv.batcher._by_slot or not srv.batcher._queue.empty():
+            break
+        time.sleep(0.05)
+    done = {}
+    dt = threading.Thread(target=lambda: done.setdefault(
+        "drained", srv.drain(timeout=120)))
+    dt.start()
+    time.sleep(0.2)
+    # GET /healthz while draining
+    import urllib.error
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/healthz", timeout=30
+        ) as r:
+            raise AssertionError("healthz should 503 while draining")
+    except urllib.error.HTTPError as e:
+        assert e.code == 503 and json.loads(e.read())["status"] == "draining"
+    # new POST refused
+    status, body = _post(srv.port, "/v1/audio_summary",
+                         {"audio": wav.tolist(), "max_new_tokens": 4})
+    assert status == 503 and "draining" in body["error"]
+    # the in-flight request still finishes, then drain() completes idle
+    t.join(timeout=300)
+    dt.join(timeout=300)
+    assert inflight["r"][0] == 200 and inflight["r"][1]["response"]
+    assert done["drained"] is True
+
+
 def test_metrics_endpoint(server):
     with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/metrics") as resp:
         assert resp.status == 200
