@@ -6,6 +6,8 @@ Flag parity with the reference entrypoint (reference: inference.py:140-178):
   --max_new_tokens (reference hardcodes 512, inference.py:174).
 
 Usage: python -m llm_speech_summarization_tpu.cli.infer -c <yaml> -a <wav>
+Bulk:  ... --audio_dir <dir> --output out.jsonl   (pipelined batches:
+       batch i+1's upload+encode overlaps batch i's prefill+decode)
 """
 
 from __future__ import annotations
@@ -22,8 +24,17 @@ def main(argv=None):
                         help="yaml file for configuration")
     parser.add_argument("-p", "--audio_encoder_checkpoint", type=str, default=None,
                         help="path to audio encoder checkpoint (Orbax export)")
-    parser.add_argument("-a", "--audio_file", type=str, required=True,
+    parser.add_argument("-a", "--audio_file", type=str, default=None,
                         help="audio file containing speech utterance to be used in prompt")
+    parser.add_argument("--audio_dir", type=str, default=None,
+                        help="bulk mode: summarize every .wav/.flac under "
+                        "this directory through the pipelined batch stream "
+                        "(length-sorted batches of --batch_size)")
+    parser.add_argument("--output", type=str, default=None,
+                        help="bulk mode: write {file, response} JSONL here "
+                        "(default: stdout)")
+    parser.add_argument("--batch_size", type=int, default=32,
+                        help="bulk mode: utterances per pipelined batch")
     parser.add_argument("--text", type=str, default="",
                         help="additional text prompt placed before the audio")
     parser.add_argument("--max_new_tokens", type=int, default=512)
@@ -36,6 +47,8 @@ def main(argv=None):
                         "greedy decode (0 = off; token-exact acceleration, "
                         "PERF.md)")
     args = parser.parse_args(argv)
+    if (args.audio_file is None) == (args.audio_dir is None):
+        parser.error("exactly one of -a/--audio_file or --audio_dir is required")
 
     from ..configs import load_config
     from ..data.audio_io import load_audio
@@ -48,6 +61,10 @@ def main(argv=None):
         speculative_k=args.speculative_k,
     )
 
+    if args.audio_dir is not None:
+        _bulk(engine, config, args)
+        return
+
     audio = load_audio(args.audio_file, target_sr=config.audio.sampling_rate)
     response = engine.generate_audio_response(
         audio,
@@ -56,6 +73,50 @@ def main(argv=None):
     )
     print("LLM Response:\n")
     print(response)
+
+
+def _bulk(engine, config, args):
+    """Directory → JSONL through the pipelined batch stream. Files are
+    length-sorted so each batch shares a prompt bucket (one compiled
+    program per bucket instead of one per mixture), then batches stream
+    through generate_audio_response_batches — batch i+1's host upload +
+    encoder forward rides under batch i's prefill+decode."""
+    import json
+    import os
+    import sys
+
+    from ..data.audio_io import load_audio
+
+    exts = (".wav", ".flac")
+    paths = sorted(
+        os.path.join(r, f)
+        for r, _, files in os.walk(args.audio_dir)
+        for f in files
+        if f.lower().endswith(exts)
+    )
+    if not paths:
+        raise SystemExit(f"no {'/'.join(exts)} files under {args.audio_dir}")
+    audios = [load_audio(p, target_sr=config.audio.sampling_rate) for p in paths]
+    order = sorted(range(len(paths)), key=lambda i: len(audios[i]))
+    bs = max(1, args.batch_size)
+    groups = [order[i:i + bs] for i in range(0, len(order), bs)]
+    batch_results = engine.generate_audio_response_batches(
+        [[audios[i] for i in g] for g in groups],
+        additional_text_prompt=args.text,
+        max_new_tokens=args.max_new_tokens,
+    )
+    responses = {}
+    for g, outs in zip(groups, batch_results):
+        for i, out in zip(g, outs):
+            responses[i] = out
+    sink = open(args.output, "w") if args.output else sys.stdout
+    try:
+        for i, p in enumerate(paths):
+            sink.write(json.dumps({"file": p, "response": responses[i]}) + "\n")
+    finally:
+        if args.output:
+            sink.close()
+            print(f"wrote {len(paths)} responses to {args.output}")
 
 
 if __name__ == "__main__":
