@@ -155,3 +155,44 @@ def test_flac_tree_to_preprocess_cli_to_training(tmp_path):
     t = Trainer(cfg, run_name="flac_e2e")
     t.train()
     assert t.step == 2
+
+
+def test_bulk_infer_cli_directory_to_jsonl(tmp_path):
+    """Bulk inference journey: a directory of WAVs → cli.infer --audio_dir
+    → JSONL, through the pipelined batch stream. Responses must equal the
+    per-file engine path (the pipeline reorders uploads, not compute)."""
+    import json
+
+    import numpy as np
+    from scipy.io import wavfile
+
+    from llm_speech_summarization_tpu.cli.infer import main as infer_main
+    from llm_speech_summarization_tpu.configs import load_config
+    from llm_speech_summarization_tpu.data.audio_io import load_audio
+    from llm_speech_summarization_tpu.infer.engine import LLMSpeechTextInference
+
+    yaml = os.path.join(
+        os.path.dirname(__file__), "..", "llm_speech_summarization_tpu",
+        "configs", "yaml", "tiny_test.yaml",
+    )
+    d = tmp_path / "wavs"
+    d.mkdir()
+    rng = np.random.RandomState(4)
+    for i in range(5):
+        wav = (0.05 * rng.randn(8000 + 700 * i) * 32767).astype(np.int16)
+        wavfile.write(str(d / f"utt{i}.wav"), 16000, wav)
+    out = tmp_path / "bulk.jsonl"
+    infer_main([
+        "-c", yaml, "--audio_dir", str(d), "--output", str(out),
+        "--batch_size", "2", "--max_new_tokens", "8",
+    ])
+    rows = [json.loads(line) for line in open(out)]
+    assert len(rows) == 5
+    assert [os.path.basename(r["file"]) for r in rows] == [
+        f"utt{i}.wav" for i in range(5)
+    ]
+    cfg = load_config(yaml)
+    eng = LLMSpeechTextInference(cfg)
+    for r in rows:
+        a = load_audio(r["file"], target_sr=cfg.audio.sampling_rate)
+        assert r["response"] == eng.generate_audio_response(a, max_new_tokens=8)
