@@ -1,3 +1,10 @@
-from .server import BatchingEngine, SummarizationServer, serve
+from .router import ReplicaRouter
+from .server import BatchingEngine, ContinuousBatchingEngine, SummarizationServer, serve
 
-__all__ = ["BatchingEngine", "SummarizationServer", "serve"]
+__all__ = [
+    "BatchingEngine",
+    "ContinuousBatchingEngine",
+    "ReplicaRouter",
+    "SummarizationServer",
+    "serve",
+]
