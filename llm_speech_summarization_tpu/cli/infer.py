@@ -77,10 +77,11 @@ def main(argv=None):
 
 def _bulk(engine, config, args):
     """Directory → JSONL through the pipelined batch stream. Files are
-    length-sorted so each batch shares a prompt bucket (one compiled
-    program per bucket instead of one per mixture), then batches stream
-    through generate_audio_response_batches — batch i+1's host upload +
-    encoder forward rides under batch i's prefill+decode."""
+    size-sorted (a cheap stat-only length proxy — same codec, longer file ≈
+    longer clip) so each batch shares a prompt bucket, audio loads LAZILY
+    one group ahead of the decode (host RAM stays O(2 batches), not
+    O(corpus)), and each batch's rows hit the JSONL sink as the batch
+    completes — a crash at batch N keeps the first N-1 batches' output."""
     import json
     import os
     import sys
@@ -96,27 +97,37 @@ def _bulk(engine, config, args):
     )
     if not paths:
         raise SystemExit(f"no {'/'.join(exts)} files under {args.audio_dir}")
-    audios = [load_audio(p, target_sr=config.audio.sampling_rate) for p in paths]
-    order = sorted(range(len(paths)), key=lambda i: len(audios[i]))
+    order = sorted(range(len(paths)), key=lambda i: os.path.getsize(paths[i]))
     bs = max(1, args.batch_size)
     groups = [order[i:i + bs] for i in range(0, len(order), bs)]
-    batch_results = engine.generate_audio_response_batches(
-        [[audios[i] for i in g] for g in groups],
-        additional_text_prompt=args.text,
-        max_new_tokens=args.max_new_tokens,
-    )
-    responses = {}
-    for g, outs in zip(groups, batch_results):
-        for i, out in zip(g, outs):
-            responses[i] = out
+
+    def lazy_batches():
+        for g in groups:
+            yield [
+                load_audio(paths[i], target_sr=config.audio.sampling_rate)
+                for i in g
+            ]
+
     sink = open(args.output, "w") if args.output else sys.stdout
+    written = 0
     try:
-        for i, p in enumerate(paths):
-            sink.write(json.dumps({"file": p, "response": responses[i]}) + "\n")
+        for g, outs in zip(
+            groups,
+            engine.iter_audio_response_batches(
+                lazy_batches(),
+                additional_text_prompt=args.text,
+                max_new_tokens=args.max_new_tokens,
+            ),
+        ):
+            for i, out in zip(g, outs):
+                sink.write(json.dumps({"file": paths[i], "response": out}) + "\n")
+            sink.flush()
+            written += len(g)
     finally:
         if args.output:
             sink.close()
-            print(f"wrote {len(paths)} responses to {args.output}")
+    if args.output:
+        print(f"wrote {written} responses to {args.output}")
 
 
 if __name__ == "__main__":

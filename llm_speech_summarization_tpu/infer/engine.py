@@ -422,38 +422,69 @@ class LLMSpeechTextInference:
         anything that has its next batch ready before the current one
         finishes.
         """
+        return list(
+            self.iter_audio_response_batches(
+                batches,
+                additional_text_prompt=additional_text_prompt,
+                max_new_tokens=max_new_tokens,
+                sampling=sampling,
+                ctc_pool_ranges=ctc_pool_ranges,
+            )
+        )
+
+    def iter_audio_response_batches(
+        self,
+        batches,
+        additional_text_prompt: str = "",
+        max_new_tokens: int = 256,
+        sampling: Optional[Sequence] = None,  # per-batch, aligned with batches
+        ctc_pool_ranges: Optional[Sequence] = None,  # per-batch, ditto
+    ):
+        """Generator core of ``generate_audio_response_batches``: yields each
+        batch's responses as it completes, holding at most TWO batches of
+        audio in flight (the one decoding + the one prebuilding). ``batches``
+        may be any iterable — a lazy generator keeps a large corpus out of
+        host RAM, and callers can persist batch i's output before batch i+1
+        finishes (crash-safe bulk jobs, cli/infer.py --audio_dir)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        batches = list(batches)
-        if not batches:
-            return []
-        n = len(batches)
-        samp = list(sampling) if sampling is not None else [None] * n
-        ranges = list(ctc_pool_ranges) if ctc_pool_ranges is not None else [None] * n
-        if len(samp) != n or len(ranges) != n:
-            raise ValueError(
-                "sampling / ctc_pool_ranges must align with batches "
-                f"(got {len(samp)}/{len(ranges)} for {n} batches)"
-            )
+        samp_it = iter(sampling) if sampling is not None else None
+        ranges_it = iter(ctc_pool_ranges) if ctc_pool_ranges is not None else None
 
-        def build(i):
-            return self.build_audio_prompt_batch(
-                batches[i], additional_text_prompt, ctc_pool_ranges=ranges[i]
+        def staged(batch):
+            """(batch_len, sampling, built prompt) for one batch — runs on
+            the builder thread; per-batch extras are drawn in step."""
+            try:
+                s = next(samp_it) if samp_it is not None else None
+                r = next(ranges_it) if ranges_it is not None else None
+            except StopIteration:
+                raise ValueError(
+                    "sampling / ctc_pool_ranges ran out before batches did "
+                    "(they must align per batch)"
+                ) from None
+            built = self.build_audio_prompt_batch(
+                batch, additional_text_prompt, ctc_pool_ranges=r
             )
+            return len(batch), s, built
 
-        results: List[List[str]] = []
+        it = iter(batches)
+        _end = object()
         with ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(build, 0)
-            for i, batch in enumerate(batches):
-                embeds, mask = fut.result()
-                if i + 1 < n:
-                    fut = ex.submit(build, i + 1)
-                results.append(
-                    self._generate_from_embeds(
-                        embeds, mask, max_new_tokens, sampling=samp[i]
-                    )[: len(batch)]
-                )
-        return results
+            nxt = next(it, _end)
+            if nxt is _end:
+                return
+            fut = ex.submit(staged, nxt)
+            while True:
+                n_real, s, (embeds, mask) = fut.result()
+                nxt = next(it, _end)
+                if nxt is not _end:
+                    fut = ex.submit(staged, nxt)
+                out = self._generate_from_embeds(
+                    embeds, mask, max_new_tokens, sampling=s
+                )[:n_real]
+                yield out
+                if nxt is _end:
+                    return
 
     def build_audio_prompt_batch(
         self,

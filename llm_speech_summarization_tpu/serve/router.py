@@ -39,9 +39,9 @@ class Backend:
         self.base_url = base_url.rstrip("/")
         self.healthy = True
         self.outstanding = 0
-        self.served = 0
+        self.served = 0   # responses relayed (any upstream HTTP status)
+        self.errors = 0   # transport failures (unreachable / died mid-stream)
         self.ejections = 0
-        self.lock = threading.Lock()
 
     def snapshot(self) -> Dict:
         return {
@@ -49,6 +49,7 @@ class Backend:
             "healthy": self.healthy,
             "outstanding": self.outstanding,
             "served": self.served,
+            "errors": self.errors,
             "ejections": self.ejections,
         }
 
@@ -108,13 +109,11 @@ class ReplicaRouter:
                     wants_stream = bool(json.loads(body or b"{}").get("stream"))
                 except Exception:  # noqa: BLE001 — let the replica 400 it
                     pass
-                backend = outer._pick()
-                if backend is None:
+                backend = outer._pick()  # arrives with outstanding += 1
+                if backend is None:       # already applied (atomic pick)
                     self._respond(503, {"error": "no healthy backends"})
                     return
-                with backend.lock:
-                    backend.outstanding += 1  # covers the full response,
-                try:                          # streamed deltas included
+                try:
                     try:
                         req = urllib.request.Request(
                             backend.base_url + self.path, data=body,
@@ -134,6 +133,7 @@ class ReplicaRouter:
                     except Exception as e:  # noqa: BLE001 — replica died mid-pick
                         backend.healthy = False
                         backend.ejections += 1
+                        backend.errors += 1
                         self._respond(502, {
                             "error": f"backend {backend.base_url} unreachable: "
                                      f"{type(e).__name__}: {e}"
@@ -142,23 +142,51 @@ class ReplicaRouter:
                     try:
                         ctype = resp.headers.get("Content-Type", "application/json")
                         if wants_stream and "ndjson" in ctype:
-                            # re-chunk token deltas line-by-line as they arrive
+                            # re-chunk token deltas line-by-line as they
+                            # arrive; a replica dying mid-stream must surface
+                            # as an {"error"} record — readline() returning
+                            # b'' on a dead socket would otherwise produce a
+                            # clean-looking truncated stream
                             self.send_response(resp.status)
                             self.send_header("Content-Type", ctype)
                             self.send_header("Transfer-Encoding", "chunked")
                             self.end_headers()
-                            while True:
-                                line = resp.readline()
-                                if not line:
-                                    break
+
+                            def emit(raw: bytes):
                                 self.wfile.write(
-                                    f"{len(line):x}\r\n".encode() + line + b"\r\n"
+                                    f"{len(raw):x}\r\n".encode() + raw + b"\r\n"
                                 )
                                 self.wfile.flush()
+
+                            last = b""
+                            try:
+                                while True:
+                                    line = resp.readline()
+                                    if not line:
+                                        break
+                                    last = line
+                                    emit(line)
+                                complete = b'"done"' in last or b'"error"' in last
+                            except Exception:  # noqa: BLE001 — socket died
+                                complete = False
+                            if complete:
+                                backend.served += 1
+                            else:
+                                backend.healthy = False
+                                backend.ejections += 1
+                                backend.errors += 1
+                                emit(json.dumps({
+                                    "error": "upstream stream truncated ("
+                                             f"{backend.base_url} died mid-stream)"
+                                }).encode() + b"\n")
                             self.wfile.write(b"0\r\n\r\n")
                             self.wfile.flush()
                         else:
                             payload = resp.read()
+                            # count on upstream completion, before the client
+                            # write: a client that reads the body and then
+                            # inspects /metrics must see itself counted
+                            backend.served += 1
                             self.send_response(resp.status)
                             self.send_header("Content-Type", ctype)
                             self.send_header("Content-Length", str(len(payload)))
@@ -167,18 +195,24 @@ class ReplicaRouter:
                     finally:
                         resp.close()
                 finally:
-                    with backend.lock:
+                    with outer._pick_lock:
                         backend.outstanding -= 1
-                        backend.served += 1
 
-        ThreadingHTTPServer.request_queue_size = 128
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        # deep listen backlog, subclass-local so other ThreadingHTTPServers
+        # in-process (e.g. co-hosted replicas in tests) keep their own
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = 128
+
+        self.httpd = _Server((host, port), Handler)
 
     # ------------------------------------------------------------------
 
     def _pick(self) -> Optional[Backend]:
         """Healthy backend with the fewest outstanding requests; ties break
-        round-robin so idle replicas share cold traffic evenly."""
+        round-robin so idle replicas share cold traffic evenly. The
+        outstanding increment happens INSIDE the pick lock — pick-then-
+        increment-later lets a burst all read the same stale minimum and
+        pile onto one replica."""
         with self._pick_lock:
             healthy = [b for b in self.backends if b.healthy]
             if not healthy:
@@ -186,7 +220,9 @@ class ReplicaRouter:
             lo = min(b.outstanding for b in healthy)
             pool = [b for b in healthy if b.outstanding == lo]
             self._rr = (self._rr + 1) % len(pool)
-            return pool[self._rr]
+            picked = pool[self._rr]
+            picked.outstanding += 1
+            return picked
 
     def _probe(self, b: Backend) -> bool:
         try:
@@ -199,11 +235,7 @@ class ReplicaRouter:
 
     def _health_loop(self):
         while not self._stop.wait(self.health_interval_s):
-            for b in self.backends:
-                ok = self._probe(b)
-                if b.healthy and not ok:
-                    b.ejections += 1
-                b.healthy = ok
+            self.check_health_now()
 
     def check_health_now(self):
         """One synchronous probe sweep (tests; avoids interval races)."""

@@ -83,7 +83,8 @@ class BatchingEngine:
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
-        self._inflight = 0  # int += is GIL-atomic enough for a drain probe
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self.batches_run = 0
@@ -92,7 +93,8 @@ class BatchingEngine:
         self._thread.start()
 
     def submit(self, req: _Request, timeout: float = 300.0) -> str:
-        self._inflight += 1
+        with self._inflight_lock:
+            self._inflight += 1
         try:
             self._queue.put(req)
             if not req.event.wait(timeout):
@@ -101,7 +103,8 @@ class BatchingEngine:
                 raise RuntimeError(req.error)
             return req.result  # type: ignore[return-value]
         finally:
-            self._inflight -= 1
+            with self._inflight_lock:
+                self._inflight -= 1
 
     def idle(self) -> bool:
         """True when no request is queued or mid-generate (drain probe)."""
@@ -352,6 +355,7 @@ class ContinuousBatchingEngine:
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._prepared: "queue.Queue" = queue.Queue()
         self._pending_wave = None
+        self._building = False  # builder popped requests it hasn't staged yet
         self._by_slot: Dict[int, _Request] = {}
         self._stop = threading.Event()
         self.batches_run = 0  # decode chunks run
@@ -374,10 +378,15 @@ class ContinuousBatchingEngine:
         return req.result  # type: ignore[return-value]
 
     def idle(self) -> bool:
-        """True when nothing is queued, staged, or decoding (drain probe)."""
+        """True when nothing is queued, mid-build, staged, or decoding
+        (drain probe). ``_building`` covers the blind window where the
+        builder thread has popped requests off the queue but not yet put
+        their wave in ``_prepared``."""
         return (
-            self._queue.empty()
+            not self._building
+            and self._queue.empty()
             and self._prepared.qsize() == 0
+            and self._pending_wave is None
             and not self._by_slot
         )
 
@@ -459,6 +468,15 @@ class ContinuousBatchingEngine:
                 first = self._queue.get(timeout=0.05)
             except queue.Empty:
                 continue
+            self._building = True  # visible to idle(): popped but not yet
+            try:                   # in _prepared/_by_slot (drain blind spot)
+                self._build_pending(first)
+            finally:
+                self._building = False
+
+    def _build_pending(self, first: _Request):
+            """One coalesced build pass (split out of _build_loop so the
+            in-progress window is bracketed by ``_building``)."""
             pending = [first]
             deadline = time.monotonic() + self.admit_wait_s
             while len(pending) < self.max_admit:
@@ -494,7 +512,7 @@ class ContinuousBatchingEngine:
                     ok.append(r)
             pending = ok
             if not pending:
-                continue
+                return
             groups: Dict[Any, List[_Request]] = {}
             for r in pending:
                 groups.setdefault((r.kind, r.text_prompt), []).append(r)
@@ -1006,9 +1024,13 @@ class SummarizationServer:
                     self._respond(400, {"error": f"{type(e).__name__}: {e}"})
 
         # deep listen backlog: bursts of concurrent connections must queue,
-        # not get RST (the stdlib default backlog of 5 drops load spikes)
-        ThreadingHTTPServer.request_queue_size = 128
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        # not get RST (the stdlib default backlog of 5 drops load spikes).
+        # Subclass-local so other ThreadingHTTPServers in-process keep
+        # their own setting.
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = 128
+
+        self.httpd = _Server((host, port), Handler)
 
     def metrics(self) -> Dict[str, Any]:
         """Operational snapshot for scrapers/dashboards (GET /metrics):
@@ -1066,8 +1088,13 @@ class SummarizationServer:
         deadline = time.monotonic() + timeout
         idle = getattr(self.batcher, "idle", lambda: True)
         drained = False
+        streak = 0
         while time.monotonic() < deadline:
-            if idle():
+            # two consecutive idle observations: a single read can land in
+            # the few-instruction window between a request leaving one
+            # visible stage and entering the next
+            streak = streak + 1 if idle() else 0
+            if streak >= 2:
                 drained = True
                 break
             time.sleep(poll_s)

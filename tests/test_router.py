@@ -114,10 +114,13 @@ def test_router_ejects_draining_replica_and_recovers(stack):
     assert [b.healthy for b in router.backends] == [False, True]
     rng = np.random.RandomState(3)
     wav = (0.05 * rng.randn(8000)).astype(np.float32)
-    before = router.backends[1].served
+    before0, before1 = (b.served for b in router.backends)
     status, body = _post(router.port, "/v1/audio_summary",
                          {"audio": wav.tolist(), "max_new_tokens": 4})
-    assert status == 200 and router.backends[1].served == before + 1
+    # >=: a prior streamed request's served bump can land a beat after its
+    # client finished reading (counted post-terminator on the router thread)
+    assert status == 200 and router.backends[1].served >= before1 + 1
+    assert router.backends[0].served == before0  # ejected replica untouched
     # recovery re-admits
     replicas[0]._draining = False
     router.check_health_now()
@@ -139,3 +142,62 @@ def test_router_ejects_draining_replica_and_recovers(stack):
     for r in replicas:
         r._draining = False
     router.check_health_now()
+
+
+def test_router_flags_truncated_stream():
+    """A replica dying mid-stream (connection closed without a done/error
+    record) must surface as an {"error"} record and eject the backend —
+    not as a clean-looking truncated stream."""
+    import http.client
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class DyingHandler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            pass
+
+        def do_GET(self):  # healthz: healthy until it dies
+            body = b'{"status": "ok"}'
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            for delta in (b'{"delta": "par"}\n', b'{"delta": "tial"}\n'):
+                self.wfile.write(f"{len(delta):x}\r\n".encode() + delta + b"\r\n")
+                self.wfile.flush()
+            # die without the final {"done": ...} record or terminator
+            self.connection.close()
+
+    backend = ThreadingHTTPServer(("127.0.0.1", 0), DyingHandler)
+    threading.Thread(target=backend.serve_forever, daemon=True).start()
+    router = ReplicaRouter(
+        [f"http://127.0.0.1:{backend.server_address[1]}"],
+        host="127.0.0.1", port=0, health_interval_s=3600,
+    )
+    router.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", router.port, timeout=60)
+        conn.request("POST", "/v1/text_response",
+                     json.dumps({"text": "x", "max_new_tokens": 8,
+                                 "stream": True}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        raw = resp.read()
+        conn.close()
+        lines = [json.loads(x) for x in raw.splitlines() if x.strip()]
+        assert lines[-1].get("error", "").startswith("upstream stream truncated")
+        assert [x.get("delta") for x in lines[:-1]] == ["par", "tial"]
+        b = router.backends[0]
+        assert not b.healthy and b.errors == 1 and b.served == 0
+    finally:
+        router.shutdown()
+        backend.shutdown()
