@@ -365,6 +365,35 @@ def test_paged_kernel_int8_interpret():
     assert rel2.max() < 2e-2, rel2.max()
 
 
+def test_paged_kernel_int8_multi_query_interpret():
+    """int8 pools at T = 4 (speculative verification over quantized pages):
+    kernel == oracle, causal fresh block included."""
+    T = 4
+    q, k_pool, v_pool, ids, lengths, pads, k_new, v_new = _random_paged_case_T(
+        seed=7, T=T
+    )
+    q = q * 0.05
+    rng = np.random.RandomState(17)
+    P, Hkv, ps, Dh = k_pool.shape
+    k_scale = jnp.asarray(0.5 + rng.rand(P, Hkv, ps), jnp.bfloat16)
+    v_scale = jnp.asarray(0.5 + rng.rand(P, Hkv, ps), jnp.bfloat16)
+    k8 = jnp.clip(jnp.round(k_pool * 10), -127, 127).astype(jnp.int8)
+    v8 = jnp.clip(jnp.round(v_pool * 10), -127, 127).astype(jnp.int8)
+    cast = lambda x: x.astype(jnp.bfloat16)  # noqa: E731
+
+    out_k = paged_decode_attention(
+        cast(q), k8, v8, ids, lengths, pads, cast(k_new), cast(v_new),
+        k_scale=k_scale, v_scale=v_scale, interpret=True,
+    )
+    out_r = paged_reference(
+        cast(q), k8, v8, ids, lengths, pads, cast(k_new), cast(v_new),
+        k_scale=k_scale, v_scale=v_scale,
+    )
+    a, b = np.asarray(out_k, np.float32), np.asarray(out_r, np.float32)
+    rel = np.abs(a - b) / (np.abs(b) + 1.0)
+    assert rel.max() < 2e-2, rel.max()
+
+
 def test_harvest_zeroes_device_table_rows():
     """After harvest frees a finished row's pages, its DEVICE page-table row
     must be zeroed: done slots keep writing their last K/V every chunk, and
