@@ -158,7 +158,7 @@ class SlotDecoder:
             )
         self._admit_fns = {}
         self._chunk_fns = {}
-        self._cancel_fn = None
+        self._release_fns = {}  # set_done → jitted row-release program
 
     def _jit_state_fn(self, fn, extra_out: bool = False):
         """jit with state donation; on a mesh, pin the output SlotState to
@@ -284,7 +284,7 @@ class SlotDecoder:
             # Freed pages may be re-allocated while done rows' device table
             # rows still reference them — harmless, done rows' decode
             # outputs are discarded (masked by `done`).
-            self._free_rows(slot_ids[:n_real] if n_pad != n_real else slot_ids)
+            self._free_rows(slot_ids[:n_real])
             n_data = T_pages // ps
             mp = self._host_table.shape[1]
             full_rows = np.zeros((n, mp), np.int32)
@@ -402,27 +402,52 @@ class SlotDecoder:
             else np.asarray(self.state.tokens[ready])
         )
         counts = counts_all[ready]
-        self.state = self.state._replace(
-            budgets=self.state.budgets.at[jnp.asarray(ready)].set(0)
-        )
         if self.paged:
             # free finished rows' pages immediately — holding them until
             # slot REUSE exhausted the pool under load (found by driving
-            # the full-size HTTP path, scripts/bench_serve.py --paged) —
-            # AND zero their DEVICE table rows: done slots keep writing
-            # their last K/V at a fixed position every chunk (llama_forward
-            # has no per-row active mask), so a stale table entry would let
-            # a finished slot corrupt pages re-allocated to live requests.
-            # Zeroed rows sink those writes into the null page 0.
+            # the full-size HTTP path, scripts/bench_serve.py --paged).
+            # The DEVICE table rows zero inside the same jitted program as
+            # the budget scatter: done slots keep writing their last K/V at
+            # a fixed position every chunk (llama_forward has no per-row
+            # active mask), so a stale table entry would let a finished
+            # slot corrupt pages re-allocated to live requests; zeroed rows
+            # sink those writes into the null page 0.
             self._free_rows(ready.tolist())
-            self.state = self.state._replace(
-                cache=self.state.cache._replace(
-                    page_table=self.state.cache.page_table.at[
-                        jnp.asarray(ready)
-                    ].set(0)
-                )
-            )
+        self._release_rows(ready.tolist(), set_done=False)
         return [(int(s), tokens[i], int(counts[i])) for i, s in enumerate(ready)]
+
+    def _release_rows(self, slot_ids: List[int], set_done: bool) -> None:
+        """ONE jitted program per (set_done, pow2 size class): scatter
+        budgets→0 (+done for cancel) and, paged, zero the rows' device
+        page-table entries. Replaces what used to be up to three separate
+        eager scatters per harvest/cancel — each eager op is a fresh
+        compile per distinct id-count and a ~100-200 ms dispatch on
+        remote-attached backends (CLAUDE.md)."""
+        n = 1
+        while n < len(slot_ids):  # pad to pow2: one compile per size class
+            n *= 2
+        ids = list(slot_ids) + [self.n_slots] * (n - len(slot_ids))
+        key = bool(set_done)
+        if key not in self._release_fns:
+            paged = self.paged
+
+            @self._jit_state_fn
+            def fn(params, state: SlotState, ids):
+                upd = dict(budgets=state.budgets.at[ids].set(0, mode="drop"))
+                if set_done:
+                    upd["done"] = state.done.at[ids].set(True, mode="drop")
+                if paged:
+                    upd["cache"] = state.cache._replace(
+                        page_table=state.cache.page_table.at[ids].set(
+                            0, mode="drop"
+                        )
+                    )
+                return state._replace(**upd)
+
+            self._release_fns[key] = fn
+        self.state = self._release_fns[key](
+            self.params, self.state, jnp.asarray(ids, jnp.int32)
+        )
 
     def live_count(self, done: Optional[np.ndarray] = None) -> int:
         if done is None:
@@ -441,34 +466,13 @@ class SlotDecoder:
         serve/server.py::_loop)."""
         if not slot_ids:
             return
-        n = 1
-        while n < len(slot_ids):  # pad to pow2: one compile per size class
-            n *= 2
-        ids = list(slot_ids) + [self.n_slots] * (n - len(slot_ids))
-        if self._cancel_fn is None:
-            @self._jit_state_fn
-            def fn(params, state: SlotState, ids):
-                return state._replace(
-                    done=state.done.at[ids].set(True, mode="drop"),
-                    budgets=state.budgets.at[ids].set(0, mode="drop"),
-                )
-
-            self._cancel_fn = fn
-        jids = jnp.asarray(ids, jnp.int32)
-        self.state = self._cancel_fn(self.params, self.state, jids)
         if self.paged:
-            # same lifecycle as harvest: free the host-mirror pages AND
-            # zero the device table rows (done rows keep writing their last
-            # K/V each chunk; a stale entry would corrupt re-allocated
-            # pages — see harvest()).
+            # free the host-mirror pages; the DEVICE table rows zero inside
+            # the same jitted program as the flag scatter below (done rows
+            # keep writing their last K/V each chunk; a stale entry would
+            # corrupt re-allocated pages — see harvest()).
             self._free_rows(list(slot_ids))
-            self.state = self.state._replace(
-                cache=self.state.cache._replace(
-                    page_table=self.state.cache.page_table.at[
-                        jnp.asarray(list(slot_ids))
-                    ].set(0)
-                )
-            )
+        self._release_rows(list(slot_ids), set_done=True)
 
     # ------------------------------------------------------------------
 
@@ -660,7 +664,7 @@ class SlotDecoder:
                     # common serving mix — skips the top-k sweep entirely,
                     # keeping the hot decode step at its current cost
                     nxt = jax.lax.cond(
-                        jnp.any(s.temps > 0.0),
+                        jnp.any((s.temps > 0.0) & ~s.done),
                         lambda: _sample_rows(
                             logits, s.rng, s.offsets, s.temps, s.top_ks,
                             s.top_ps,
@@ -669,9 +673,12 @@ class SlotDecoder:
                     )
                     nxt = jnp.where(s.done, jnp.int32(eos), nxt)
                     emit = ~s.done
+                    # done rows' writes drop (row index pushed out of range)
+                    # instead of gather-and-rewrite-the-old-value
                     tokens = s.tokens.at[
-                        jnp.arange(N), jnp.minimum(s.n_emitted, s.tokens.shape[1] - 1)
-                    ].set(jnp.where(emit, nxt, s.tokens[jnp.arange(N), jnp.minimum(s.n_emitted, s.tokens.shape[1] - 1)]))
+                        jnp.where(emit, jnp.arange(N), N),
+                        jnp.minimum(s.n_emitted, s.tokens.shape[1] - 1),
+                    ].set(nxt, mode="drop")
                     n_emitted = s.n_emitted + emit.astype(jnp.int32)
                     done = s.done | (nxt == eos) | (n_emitted >= s.budgets)
                     # done rows stop advancing: their cache slot is re-written

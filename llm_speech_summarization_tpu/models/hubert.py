@@ -111,6 +111,9 @@ def conv_receptive_field(cfg: HubertConfig) -> Tuple[int, int]:
 
 def init_hubert_params(rng: jax.Array, cfg: HubertConfig, dtype=jnp.bfloat16) -> Params:
     D, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    # NOTE: 4 slack keys are never drawn — kept so the split count (and
+    # therefore every random init stream) stays stable; goldens and parity
+    # fixtures are pinned to these streams
     n_keys = 4 + len(cfg.conv_dims) + 8
     keys = jax.random.split(rng, n_keys)
     ki = iter(range(n_keys))

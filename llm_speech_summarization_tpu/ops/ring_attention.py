@@ -46,6 +46,16 @@ from ..kernels.flash_attention import _flash_bwd_impl, _flash_impl, _pick_block
 NEG_INF = -1e30
 
 
+def _pvary(x, axis_name):
+    """Mark ``x`` varying over ``axis_name`` across JAX versions:
+    ``jax.lax.pvary`` is deprecated in favor of ``pcast(..., to="varying")``
+    (DeprecationWarning since 0.9; slated for removal)."""
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        return pcast(x, to="varying", axis_name=axis_name)
+    return jax.lax.pvary(x, axis_name)
+
+
 # ---------------------------------------------------------------------------
 # per-visiting-block interiors: (o_s normalized f32, lse_s f32) + backward
 # ---------------------------------------------------------------------------
@@ -153,8 +163,8 @@ def _ring_fwd(q, k0, v0, starts_g, ends_g, axis_name, causal, interior, block, i
     my_idx = jax.lax.axis_index(axis_name)
     B, Tl, Hq, Dh = q.shape
 
-    o0 = jax.lax.pvary(jnp.zeros((B, Tl, Hq, Dh), jnp.float32), axis_name)
-    lse0 = jax.lax.pvary(jnp.full((B, Hq, Tl), NEG_INF, jnp.float32), axis_name)
+    o0 = _pvary(jnp.zeros((B, Tl, Hq, Dh), jnp.float32), axis_name)
+    lse0 = _pvary(jnp.full((B, Hq, Tl), NEG_INF, jnp.float32), axis_name)
 
     def step(carry, s):
         o, lse, k, v = carry
@@ -199,9 +209,9 @@ def _ring_bwd_body(q, k0, v0, starts_g, ends_g, out, lse, g,
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
     ).transpose(0, 2, 1)
 
-    dq0 = jax.lax.pvary(jnp.zeros((B, Tl, Hq, Dh), jnp.float32), axis_name)
-    dk0 = jax.lax.pvary(jnp.zeros((B, Tl, Hkv, Dh), jnp.float32), axis_name)
-    dv0 = jax.lax.pvary(jnp.zeros((B, Tl, Hkv, Dh), jnp.float32), axis_name)
+    dq0 = _pvary(jnp.zeros((B, Tl, Hq, Dh), jnp.float32), axis_name)
+    dk0 = _pvary(jnp.zeros((B, Tl, Hkv, Dh), jnp.float32), axis_name)
+    dv0 = _pvary(jnp.zeros((B, Tl, Hkv, Dh), jnp.float32), axis_name)
 
     def step(carry, s):
         dq, dk, dv, k, v = carry
