@@ -1,7 +1,8 @@
 """Pallas TPU flash-attention (tiled online softmax, GQA, masked windows).
 
-The hot kernel of the KD train step (student+teacher stacked LLM forward,
-train/step.py), generation prefill (infer/generate.py), and the speech
+The hot kernel of the KD train step's student and teacher LLM forwards
+(run as SEPARATE programs — train/step.py unstacked them so the backward
+stays B-wide), generation prefill (infer/generate.py), and the speech
 encoders' self-attention. The reference gets attention from torch SDPA
 inside HF models (reference: model/audio_llama.py via transformers); here
 it is a tiled online-softmax kernel that never materializes the (T, S)
@@ -145,8 +146,23 @@ def flash_attention(
     saved per-row log-sum-exp; GQA dk/dv group-summed outside the kernel).
     """
     B, T, Hq, Dh = q.shape
+    if jax.default_backend() != "tpu" and not interpret:
+        # the documented XLA path for non-TPU backends (module docstring /
+        # CLAUDE.md kernel contract) — in-tree callers gate themselves, but
+        # external callers of the exported kernel must not crash in Mosaic
+        return _xla_reference(q, k, v, starts, ends, causal)
     block_q = block_q or _pick_block(T)
     block_k = block_k or _pick_block(T)
+    if block_q % 128 != 0 and block_q != T:
+        # LSE/delta blocks are (1, 1, block_q) with block_q on the LANE
+        # dim; a multi-block grid slices that dim, and Mosaic requires
+        # 128-aligned lane slices — a non-128-multiple block_q (only
+        # reachable for T > 512 with T % 128 == 64, e.g. ring shards of a
+        # 64-bucketed length) survives ONLY as one full-T block
+        if T <= 2048:
+            block_q = T
+        else:
+            return _xla_reference(q, k, v, starts, ends, causal)
     if T % block_q != 0 or T % block_k != 0 or not (Dh % 128 == 0 or Dh == 64):
         # un-tileable shape → XLA reference path
         return _xla_reference(q, k, v, starts, ends, causal)

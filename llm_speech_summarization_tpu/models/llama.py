@@ -532,11 +532,11 @@ def llama_forward(
         per_row_offset = cache_offset.ndim == 1  # continuous batching: each
         # slot decodes at its own depth (infer/slots.py)
         S = kv_cache.max_len
-        # decode: for bf16 caches XLA's fused attention currently beats the
-        # Pallas decode kernel (it hides the [cache|fresh] concat well) —
-        # opt in explicitly with attn_impl="pallas". For int8 caches the
-        # Pallas kernel dequantizes in-register, so "auto" prefers it (the
-        # XLA fallback materializes a dequantized cache copy per step).
+        # decode: XLA's fused native-layout attention (decode_xla_q) beats
+        # the Pallas decode kernel for BOTH bf16 and int8 caches (the int8
+        # convert fuses into the attention program — no dequantized cache
+        # copy), so "auto" always takes it; the Pallas kernel stays opt-in
+        # via attn_impl="pallas" (measured history in PERF.md).
         pallas_decode_ok = (
             kv_pad_lens is not None
             and T == 1
@@ -558,11 +558,10 @@ def llama_forward(
                 attn_mask,
             )
         else:
+            # only reachable with kv_pad_lens=None, where is_prefill
+            # classification guarantees kv_valid is not None
             assert not per_row_offset, "decode_xla path needs a scalar offset"
-            if kv_valid is None:
-                assert kv_pad_lens is not None
-                slot = jnp.arange(S, dtype=jnp.int32)[None, :]
-                kv_valid = (slot >= kv_pad_lens[:, None]) & (slot < cache_offset)
+            assert kv_valid is not None
             kv_valid_full = jnp.concatenate([kv_valid, attn_mask], axis=1)  # (B, S+T)
             kv_idx = jnp.concatenate(
                 [jnp.arange(S, dtype=jnp.int32), cache_offset + jnp.arange(T, dtype=jnp.int32)]
@@ -575,9 +574,7 @@ def llama_forward(
                 ),
             )
 
-    import functools as _ft
-
-    block = _ft.partial(
+    block = functools.partial(
         _block, attn_kind=attn_kind, ring_mesh=ring_mesh, ring_axis=ring_axis
     )
     if remat:
