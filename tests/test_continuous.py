@@ -396,3 +396,42 @@ def test_slot_decoder_repetition_penalty():
     for t in pen.values():
         non_eos = t[t != 0]
         assert len(np.unique(non_eos)) == len(non_eos), t
+
+
+def test_scheduler_survives_transient_decode_failure():
+    """One transient device/RPC failure inside the scheduler loop must fail
+    the in-flight requests loudly and keep serving — not wedge the thread
+    with /healthz green (review finding)."""
+    import time
+
+    from llm_speech_summarization_tpu.serve.server import ContinuousBatchingEngine, _Request
+
+    cfg = load_config(TINY_YAML)
+    engine = LLMSpeechTextInference(cfg)
+    cb = ContinuousBatchingEngine(engine, n_slots=2, max_prompt_len=256,
+                                  max_new_tokens=16, chunk_steps=2)
+    try:
+        orig = cb.decoder.decode_chunk
+        boom = {"n": 0}
+
+        def flaky(*a, **k):
+            if boom["n"] == 0:
+                boom["n"] += 1
+                raise RuntimeError("transient RPC failure (injected)")
+            return orig(*a, **k)
+
+        cb.decoder.decode_chunk = flaky
+        bad = _Request(kind="text", payload="will fail", text_prompt="",
+                       max_new_tokens=8)
+        with pytest.raises(RuntimeError, match="scheduler error"):
+            cb.submit(bad, timeout=120)
+        assert cb._loop_errors == 1
+        # loop alive: the next request serves normally and matches one-shot
+        ok = _Request(kind="text", payload="still alive", text_prompt="",
+                      max_new_tokens=8)
+        got = cb.submit(ok, timeout=300)
+        want = engine.generate_text_response_batch(["still alive"],
+                                                   max_new_tokens=8)[0]
+        assert got == want
+    finally:
+        cb.shutdown()
