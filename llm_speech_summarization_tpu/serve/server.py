@@ -85,6 +85,11 @@ class BatchingEngine:
         self.max_wait_s = max_wait_ms / 1000.0
         self._inflight = 0
         self._inflight_lock = threading.Lock()
+        # incompatible requests popped during a drain park here and LEAD
+        # the next wave — requeueing them at the back let a sustained
+        # same-group stream starve a lone cross-group request forever
+        # (only one thread runs waves, so no lock needed)
+        self._carry: List[_Request] = []
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self.batches_run = 0
@@ -118,8 +123,16 @@ class BatchingEngine:
 
     def _drain_compatible(self, first: _Request) -> List[_Request]:
         batch = [first]
+        # same-group requests parked by earlier drains join first — they
+        # arrived before anything still in the queue
+        still: List[_Request] = []
+        for r in self._carry:
+            if len(batch) < self.max_batch and r.group_key == first.group_key:
+                batch.append(r)
+            else:
+                still.append(r)
+        self._carry = still
         deadline = time.monotonic() + self.max_wait_s
-        leftovers: List[_Request] = []
         while len(batch) < self.max_batch:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
@@ -131,9 +144,7 @@ class BatchingEngine:
             if req.group_key == first.group_key:
                 batch.append(req)
             else:
-                leftovers.append(req)
-        for req in leftovers:  # requeue different-group requests
-            self._queue.put(req)
+                self._carry.append(req)
         return batch
 
     def _build_wave(self):
@@ -142,10 +153,13 @@ class BatchingEngine:
         empty, or (batch, embeds_or_None, mask, budget, sampling, error).
         A build failure is carried in ``error`` so the LOOP fails exactly
         that wave's requests, never the scheduler thread."""
-        try:
-            first = self._queue.get(timeout=0.1)
-        except queue.Empty:
-            return None
+        if self._carry:
+            first = self._carry.pop(0)  # parked cross-group request LEADS
+        else:
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                return None
         batch = self._drain_compatible(first)
         budget = max(r.max_new_tokens for r in batch)
         # per-request sampling params are TRACED inputs of the generate
