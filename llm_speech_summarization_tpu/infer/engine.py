@@ -271,6 +271,7 @@ class LLMSpeechTextInference:
                 eos_id=self.tokenizer.eos_id,
                 k=self.speculative_k,
                 cache_dtype=self.cache_dtype,
+                num_steps=jnp.int32(max_new_tokens),
             )
             tokens = np.asarray(tokens)
             lens = np.asarray(lens)
@@ -365,6 +366,8 @@ class LLMSpeechTextInference:
         The full templated prompt is tokenized and embedded directly — no
         splicing — exactly like the reference's f"{prefix} {text}{suffix} ".
         """
+        if not input_texts:
+            return []
         embeds, mask = self.build_text_prompt_batch(input_texts)
         out = self._generate_from_embeds(embeds, mask, max_new_tokens,
                                          sampling=sampling)
@@ -394,6 +397,8 @@ class LLMSpeechTextInference:
     ) -> List[str]:
         """Audio(+text)-prompted generation (reference: inference.py:95-137),
         batched over utterances of different lengths."""
+        if not audios:
+            return []
         embeds, mask = self.build_audio_prompt_batch(
             audios, additional_text_prompt, ctc_pool_ranges
         )

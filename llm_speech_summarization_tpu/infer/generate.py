@@ -315,7 +315,8 @@ def speculative_generate(
     k: int = 4,
     cache_dtype=jnp.bfloat16,
     draft_override: Optional[jnp.ndarray] = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    num_steps: Optional[jnp.ndarray] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy generation with self-speculative (n-gram lookahead) decoding.
 
     Each round proposes ``k`` draft tokens (``_ngram_propose``) and runs ONE
@@ -338,6 +339,10 @@ def speculative_generate(
     n_rounds scalar — verification forwards executed; the per-round cost
     vs a plain decode step is the whole economics of the method).
     """
+    # ``num_steps``: traced emission cap <= max_new_tokens (the STATIC
+    # buffer/bucket size) — callers bucket max_new for compile reuse but a
+    # 10-token request must not pay bucket-many verification rounds
+    cap = jnp.int32(max_new_tokens if num_steps is None else num_steps)
     B, L, _ = inputs_embeds.shape
     S = L + max_new_tokens * (k + 1)
     cache = init_kv_cache(cfg, B, S, dtype=cache_dtype)
@@ -368,7 +373,7 @@ def speculative_generate(
 
     def cond_fn(s):
         n, _, _, _, done, *_ = s
-        live = ~done & (n < max_new_tokens)
+        live = ~done & (n < cap)
         return jnp.any(live)
 
     def body(s):
@@ -389,7 +394,7 @@ def speculative_generate(
         preds = jnp.argmax(fwd.logits, axis=-1).astype(jnp.int32)  # (B, k+1)
         live = (~done)[:, None]
         tokens, n_add, last, done, commit = commit_verified_drafts(
-            preds, draft, tokens, n, max_new_tokens, done, last, eos_id
+            preds, draft, tokens, n, cap, done, last, eos_id
         )
         n_new = n + n_add
         # the fresh K/V of the fed tokens [last, draft]: slots are valid for
@@ -406,7 +411,7 @@ def speculative_generate(
 
     n, off, tokens, _, done, _, _, _ = jax.lax.while_loop(cond_fn, body, state)
     n_rounds = (off - L) // (k + 1)
-    return tokens, jnp.minimum(n, max_new_tokens), n_rounds
+    return tokens, jnp.minimum(n, cap), n_rounds
 
 
 def make_generate_fn(params, cfg: LlamaConfig, eos_id: int, temperature: float = 0.0):

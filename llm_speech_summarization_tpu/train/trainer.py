@@ -239,9 +239,15 @@ class Trainer:
         pc, pi = jax.process_count(), jax.process_index()
         if pc > 1:
             assert batch_size % pc == 0, (
-                f"global batch {batch_size} must divide process count {pc}"
+                f"process count {pc} must divide the global batch {batch_size}"
             )
-            idx = idx[pi::pc]
+            # EQUAL shards: every process must yield the same number of
+            # batches with the same tail sizes — the jitted step and
+            # make_array_from_process_local_data are global collectives, so
+            # a process with one extra strided row would hang the others.
+            # Drop the global remainder (< pc rows per epoch).
+            n = len(idx) // pc
+            idx = idx[pi::pc][:n]
             batch_size = batch_size // pc
         bcfg = self.config.train.buckets
         use_ctc = self.enc_setup.downsample_method == "ctc_pool"
@@ -306,7 +312,11 @@ class Trainer:
             prev_handler = None
 
         try:
-            for epoch in range(self.start_epoch, self.start_epoch + tcfg.epochs):
+            # resume FINISHES the configured total (reference semantics:
+            # restored epoch resumes in place, trainer.py:116-132) — the
+            # old start+epochs bound made every preempted+resumed run
+            # train MORE total epochs than an uninterrupted one
+            for epoch in range(self.start_epoch, tcfg.epochs):
                 print(f"Epoch {epoch}")
                 t0 = time.time()
                 for batch in self._batches(self.train_ds, tcfg.batch_size, True, cfg.seed_everything + epoch):
@@ -335,6 +345,7 @@ class Trainer:
                         )
                     if val_int and self.step % val_int == 0:
                         self.validate(epoch)
+                        t0 = time.time()  # step_time_s must not bill eval time
                     if self._stop_requested:
                         print("SIGTERM received: checkpointing and stopping")
                         # preemption save BLOCKS (and drains any async save
@@ -366,12 +377,28 @@ class Trainer:
         text_nlls: List[float] = []
         weights: List[int] = []
         val_bs = min(cfg.train.batch_size, 8)
+        pc = jax.process_count()
+        if pc > 1:
+            # _batches requires pc | batch_size (per-process shards)
+            val_bs = max(pc, (val_bs // pc) * pc)
         for batch in self._batches(self.val_ds, val_bs, False, 0):
+            n_real = batch.wav.shape[0]
+            if self.mesh is not None:
+                # same placement contract as train(): pad non-divisible
+                # tails (zero-response rows drop out of the token-weighted
+                # NLL means) and shard — raw per-process arrays mixed with
+                # mesh-sharded params are a placement error on multi-host
+                from ..parallel.sharding import pad_batch_rows, shard_batch
+
+                n_data = dict(self.mesh.shape).get("data", 1)
+                if batch.wav.shape[0] % n_data != 0:
+                    batch = pad_batch_rows(batch, n_data)
+                batch = shard_batch(self.mesh, batch)
             eval_fn = self._get_eval_step(batch.wav.shape[1])
             a_nll, t_nll = eval_fn(self.state.enc_params, self.llm_params, batch)
             audio_nlls.append(float(a_nll))
             text_nlls.append(float(t_nll))
-            weights.append(batch.wav.shape[0])  # tail batch is smaller
+            weights.append(n_real)  # tail batch is smaller (pre-padding)
             self.writer.log_validation(float(a_nll), self.step)
 
         if audio_nlls:
@@ -383,21 +410,36 @@ class Trainer:
         # sample generations (reference: trainer.py:454-508)
         n_gen = cfg.log.num_generate_samples
         if n_gen > 0 and len(self.val_ds) > 0:
-            from ..infer.engine import LLMSpeechTextInference
+            if getattr(self, "_val_engine", None) is None:
+                from ..infer.engine import LLMSpeechTextInference
 
-            engine = LLMSpeechTextInference(
-                cfg,
-                audio_encoder_params=self.state.enc_params,
-                llm_params=self.llm_params,
-                llm_cfg=self.llm_cfg,
-                tokenizer=self.tokenizer,
-            )
+                # ONE engine reused across validates (its jit wrappers and
+                # prompt-program caches persist); encoder params refresh
+                # per call below. mesh passes through so sharded llm_params
+                # meet correctly-placed inputs (engine._dev_put).
+                self._val_engine = LLMSpeechTextInference(
+                    cfg,
+                    audio_encoder_params=self.state.enc_params,
+                    llm_params=self.llm_params,
+                    llm_cfg=self.llm_cfg,
+                    tokenizer=self.tokenizer,
+                    mesh=self.mesh,
+                )
+            engine = self._val_engine
+            engine.audio_encoder_params = self.state.enc_params
+            use_ctc = self.enc_setup.downsample_method == "ctc_pool"
             prompts, audio_resps, text_resps, audios = [], [], [], []
             for i in range(min(n_gen, len(self.val_ds))):
                 ex = self.val_ds[i]
                 max_new = min(2 * max(len(ex["text_input_ids"]), 8), 128)
+                ranges = (
+                    np.asarray(ex["pool_ranges_4"], np.int32) if use_ctc else None
+                )
                 audio_resps.append(
-                    engine.generate_audio_response(ex["audio"], max_new_tokens=max_new)
+                    engine.generate_audio_response(
+                        ex["audio"], max_new_tokens=max_new,
+                        ctc_pool_ranges=ranges,
+                    )
                 )
                 text_resps.append(
                     engine.generate_text_response(ex["text"], max_new_tokens=max_new)

@@ -111,3 +111,46 @@ def test_multihost_loader_shards_index_space(tmp_path, monkeypatch):
     assert sorted(ids0 + ids1) == ids(
         t._batches(t.train_ds, 4, shuffle=True, seed=7)
     )
+
+
+def test_resume_finishes_configured_epochs_not_more(tmp_path):
+    """A resumed run FINISHES the configured total (range(start, epochs)) —
+    the old start+epochs bound made every preempted+resumed run train
+    tcfg.epochs EXTRA epochs (review finding)."""
+    cfg, t = _make_trainer(tmp_path, num_samples=4, batch_size=2)
+    cfg.train.epochs = 2
+    cfg.log.validation_interval = 0  # checkpoint only at epoch ends
+    t.train()
+    steps_full = t.step
+    assert steps_full == 2 * 2  # 2 epochs x 2 batches
+
+    from llm_speech_summarization_tpu.train.trainer import Trainer
+
+    # resume from the finished run: start_epoch == last epoch (reference
+    # semantics repeat the checkpointed epoch), so at most ONE epoch of
+    # extra steps — never tcfg.epochs more
+    t2 = Trainer(cfg, run_name="burrs")
+    assert t2.step == steps_full
+    t2.train()
+    assert t2.step <= steps_full + 2  # <= one repeated epoch, not 2 more
+
+
+def test_multihost_loader_equal_shards_on_odd_dataset(tmp_path, monkeypatch):
+    """With an indivisible dataset (9 rows, 2 processes), each process must
+    yield the SAME batch structure — the jitted step and global-array
+    assembly are collectives, so an extra strided row on one host would
+    hang the other (review finding). The global remainder row is dropped."""
+    import jax
+
+    cfg, t = _make_trainer(tmp_path, num_samples=9, batch_size=4)
+
+    def batches_for(pi):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda: pi)
+        out = list(t._batches(t.train_ds, 4, shuffle=True, seed=7))
+        monkeypatch.undo()
+        return out
+
+    b0, b1 = batches_for(0), batches_for(1)
+    assert [b.wav.shape[0] for b in b0] == [b.wav.shape[0] for b in b1]
+    assert sum(b.wav.shape[0] for b in b0) == 4  # 9 // 2 = 4 per process
