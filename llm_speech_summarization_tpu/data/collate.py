@@ -62,11 +62,22 @@ def collate_batch(
     resp_ids, resp_lens = pad_ids("response_input_ids", max_response_tokens)
 
     ranges = None
-    if max_pool_ranges is not None and "pool_ranges_4" in examples[0]:
-        ranges = np.zeros((B, max_pool_ranges, 2), np.int32)
-        for b, e in enumerate(examples):
-            r = np.asarray(e["pool_ranges_4"], np.int32).reshape(-1, 2)[:max_pool_ranges]
-            ranges[b, : len(r)] = r
+    if max_pool_ranges is not None:
+        have = ["pool_ranges_4" in e for e in examples]
+        if any(have):
+            if not all(have):
+                # concatenated splits can mix rows preprocessed with and
+                # without CTC ranges; failing loudly beats a KeyError
+                # mid-epoch (or silently pooling garbage)
+                raise ValueError(
+                    "mixed batch: some examples carry pool_ranges_4 and "
+                    "some do not — a ctc_pool run needs every split "
+                    "preprocessed with CTC offsets"
+                )
+            ranges = np.zeros((B, max_pool_ranges, 2), np.int32)
+            for b, e in enumerate(examples):
+                r = np.asarray(e["pool_ranges_4"], np.int32).reshape(-1, 2)[:max_pool_ranges]
+                ranges[b, : len(r)] = r
 
     return Batch(
         wav=wav,

@@ -113,13 +113,22 @@ def fused_ntp_ld_losses(
 
     neg = jnp.float32(-1e30)
 
-    def chunk_logits(h, c):
-        w = jax.lax.dynamic_slice(head_p, (c * vocab_chunk, 0), (vocab_chunk, D))
+    # the TEACHER's logits must not differentiate the (shared) lm head:
+    # with tied embeddings head_vd IS embed_tokens, and leaking the
+    # teacher-softmax gradient through it diverges from
+    # soft_cross_entropy's gradient (the teacher distribution is a
+    # CONSTANT target) — latent while only enc_params train, wrong the
+    # moment the head/embedding joins the optimizer
+    head_sg = jax.lax.stop_gradient(head_p)
+    scale_sg = None if scale_p is None else jax.lax.stop_gradient(scale_p)
+
+    def chunk_logits(h, c, w_all=head_p, s_all=scale_p):
+        w = jax.lax.dynamic_slice(w_all, (c * vocab_chunk, 0), (vocab_chunk, D))
         logits = jnp.einsum(
             "nd,vd->nv", h, w.astype(h.dtype), preferred_element_type=jnp.float32
         )
-        if scale_p is not None:  # int8 head: per-vocab-row dequant scale
-            s = jax.lax.dynamic_slice(scale_p, (c * vocab_chunk,), (vocab_chunk,))
+        if s_all is not None:  # int8 head: per-vocab-row dequant scale
+            s = jax.lax.dynamic_slice(s_all, (c * vocab_chunk,), (vocab_chunk,))
             logits = logits * s.astype(jnp.float32)[None, :]
         # mask padded vocab tail
         v_idx = c * vocab_chunk + jnp.arange(vocab_chunk)
@@ -133,7 +142,7 @@ def fused_ntp_ld_losses(
     def pass1(carry, c):
         m_s, l_s, m_t, l_t, t_dot, label_logit = carry
         ls = chunk_logits(sh, c)  # (N, Vc) f32
-        lt = chunk_logits(th, c)
+        lt = chunk_logits(th, c, w_all=head_sg, s_all=scale_sg)
 
         m_s_new = jnp.maximum(m_s, jnp.max(ls, axis=-1))
         l_s = l_s * jnp.exp(m_s - m_s_new) + jnp.sum(

@@ -70,6 +70,11 @@ def ctc_segment_mean(
     ends = pool_ranges[..., 1]
     if range_valid is None:
         range_valid = ends > starts
+    # a range starting past the frame extent is NOT a real embedding:
+    # truncated audio (collate clips wav to its bucket but ranges were
+    # computed on the full clip) must not inject phantom all-zero prompt
+    # positions that emb_lens then counts as attended
+    range_valid = range_valid & (starts < N)
     t = jnp.arange(N, dtype=jnp.int32)  # (N,)
     member = (t[None, None, :] >= starts[..., None]) & (t[None, None, :] < ends[..., None])
     member = member & range_valid[..., None]

@@ -93,8 +93,13 @@ def splice_sequences(
 
     # Token-id plane (everything but mid). Clipped gathers keep indices in
     # range; the selects below kill the garbage lanes.
-    pref_tok = prefix_ids[jnp.clip(u, 0, P - 1)]  # (B, L)
-    suf_tok = suffix_ids[jnp.clip(u - b1, 0, S - 1)]
+    # statically-empty segments skip their gather (a gather on a
+    # zero-length array is a trace-time error; in_prefix/in_suffix are
+    # all-False then, so zeros are never selected)
+    pref_tok = prefix_ids[jnp.clip(u, 0, P - 1)] if P > 0 else jnp.zeros_like(u)
+    suf_tok = (
+        suffix_ids[jnp.clip(u - b1, 0, S - 1)] if S > 0 else jnp.zeros_like(u)
+    )
     token_ids = jnp.where(in_prefix, pref_tok, 0)
     token_ids = jnp.where(in_suffix, suf_tok, token_ids)
     if R > 0:

@@ -275,3 +275,78 @@ def test_fused_ntp_ld_matches_unfused():
     g1 = jax.grad(fused_total)(jnp.asarray(sh))
     g2 = jax.grad(unfused_total)(jnp.asarray(sh))
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-5)
+
+
+def test_fused_ntp_ld_head_gradient_matches_unfused():
+    """Gradient w.r.t. the LM HEAD must match the unfused losses: the
+    teacher distribution is a constant target, so its logits must not
+    differentiate the shared head (with tied embeddings head IS
+    embed_tokens — review finding, verified 0.27 max grad diff pre-fix)."""
+    from llm_speech_summarization_tpu.ops.losses import (
+        fused_ntp_ld_losses,
+        soft_cross_entropy,
+    )
+
+    rng = np.random.RandomState(3)
+    B, W, D, V = 2, 5, 12, 33
+    sh = jnp.asarray(rng.randn(B, W, D).astype(np.float32))
+    th = jnp.asarray(rng.randn(B, W, D).astype(np.float32))
+    head_vd = jnp.asarray(rng.randn(V, D).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, V, (B, W)).astype(np.int32))
+    loss_mask = jnp.asarray(np.eye(2, 5, 1, dtype=bool) | np.eye(2, 5, 3, dtype=bool))
+    resp_mask = jnp.asarray(np.ones((B, W), bool))
+
+    def fused(h):
+        n, l = fused_ntp_ld_losses(sh, th, h, labels, loss_mask, resp_mask,
+                                   vocab_chunk=16)
+        return n + l
+
+    def unfused(h):
+        s_logits = jnp.einsum("bwd,vd->bwv", sh, h)
+        t_logits = jax.lax.stop_gradient(jnp.einsum("bwd,vd->bwv", th, h))
+        return response_cross_entropy(s_logits, labels, loss_mask) + \
+            soft_cross_entropy(s_logits, t_logits, resp_mask)
+
+    gf = jax.grad(fused)(head_vd)
+    gu = jax.grad(unfused)(head_vd)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gu), atol=1e-4)
+
+
+def test_ctc_segment_mean_rejects_out_of_range_ranges():
+    """Ranges lying past the frame extent (truncated audio) are INVALID —
+    they must not become attended all-zero phantom embeddings."""
+    from llm_speech_summarization_tpu.ops.pooling import ctc_segment_mean
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 10, 4).astype(np.float32))
+    ranges = jnp.asarray([[[0, 4], [8, 12], [12, 16]]], jnp.int32)
+    pooled, valid = ctc_segment_mean(x, ranges)
+    assert np.asarray(valid).tolist() == [[True, True, False]]
+    # the straddling range (8, 12) averages only the REAL frames 8..9
+    np.testing.assert_allclose(
+        np.asarray(pooled)[0, 1], np.asarray(x)[0, 8:10].mean(0), rtol=1e-5
+    )
+
+
+def test_splice_handles_statically_empty_suffix():
+    """A template with no suffix (S == 0) must splice, not crash the trace
+    with a zero-length gather."""
+    from llm_speech_summarization_tpu.ops.splice import splice_sequences
+
+    rng = np.random.RandomState(1)
+    D, Vv = 8, 32
+    table = jnp.asarray(rng.randn(Vv, D).astype(np.float32))
+    mid = jnp.asarray(rng.randn(2, 3, D).astype(np.float32))
+    out = splice_sequences(
+        embedding_table=table,
+        prefix_ids=jnp.asarray([1, 2], jnp.int32),
+        suffix_ids=jnp.zeros((0,), jnp.int32),
+        mid_embeds=mid,
+        mid_lens=jnp.asarray([3, 2], jnp.int32),
+        response_ids=jnp.zeros((2, 0), jnp.int32),
+        response_lens=jnp.zeros((2,), jnp.int32),
+        total_len=8,
+    )
+    embeds, mask = out[0], out[1]
+    assert embeds.shape == (2, 8, D)
+    # row 0: prefix(2) + mid(3) = 5 valid positions, left-padded
+    assert np.asarray(mask)[0].sum() == 5 and np.asarray(mask)[1].sum() == 4
