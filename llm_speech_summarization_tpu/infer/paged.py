@@ -174,8 +174,12 @@ def write_tokens(
         positions = cache.lengths[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     page_idx = positions // ps  # (B, T)
     slot = positions % ps
-    pid = jnp.take_along_axis(cache.page_table, jnp.minimum(page_idx, mp - 1), axis=1)
-    pid = jnp.where(page_idx < mp, pid, 0)
+    pid = jnp.take_along_axis(
+        cache.page_table, jnp.clip(page_idx, 0, mp - 1), axis=1
+    )
+    # out-of-range BOTH ways: a negative position would otherwise clamp to
+    # the row's FIRST real page and silently corrupt prompt K/V
+    pid = jnp.where((page_idx >= 0) & (page_idx < mp), pid, 0)
     if active is not None:
         pid = jnp.where(active[:, None], pid, 0)
     # page-major pools: (B, T) advanced indices on axes (1: page, 3: slot)
@@ -291,18 +295,30 @@ def grow_pages(
     hit an unallocated page. Returns (cache, grew)."""
     lengths = np.asarray(cache.lengths)
     table = None
+    fresh: List[int] = []  # pids placed only in the local copy so far
     ps = cache.page_size
-    for b in active_rows:
-        first = int(lengths[b]) // ps
-        last = (int(lengths[b]) + max(lookahead, 1) - 1) // ps
-        for page_idx in range(first, min(last + 1, cache.page_table.shape[1])):
-            if table is None:
-                table = np.asarray(cache.page_table).copy()
-            if table[b, page_idx] == 0:
-                (pid,) = allocator.alloc(1)
-                table[b, page_idx] = pid
-    if table is None or not (table != np.asarray(cache.page_table)).any():
-        return (cache if table is None else cache._replace(page_table=jnp.asarray(table))), False
+    try:
+        for b in active_rows:
+            first = int(lengths[b]) // ps
+            last = (int(lengths[b]) + max(lookahead, 1) - 1) // ps
+            for page_idx in range(first, min(last + 1, cache.page_table.shape[1])):
+                if table is None:
+                    table = np.asarray(cache.page_table).copy()
+                if table[b, page_idx] == 0:
+                    (pid,) = allocator.alloc(1)
+                    fresh.append(pid)
+                    table[b, page_idx] = pid
+    except MemoryError:
+        # roll the partial grow back BEFORE re-raising: callers catch
+        # MemoryError to defer/evict and retry — pids recorded only in the
+        # discarded local copy would otherwise leak out of the pool forever
+        allocator.free(fresh)
+        raise
+    if not fresh:
+        # nothing grew: return the cache UNTOUCHED — re-uploading an
+        # identical table costs a host->device transfer per chunk boundary
+        # and drops the array's committed placement
+        return cache, False
     return cache._replace(page_table=jnp.asarray(table)), True
 
 

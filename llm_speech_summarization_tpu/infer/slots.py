@@ -156,6 +156,16 @@ class SlotDecoder:
             self.state = jax.tree_util.tree_map(
                 jax.device_put, self.state, self._state_shardings
             )
+        # under a model-sharded mesh, route every forward through the XLA
+        # attention paths: pallas_calls (paged decode, flash prefill) have
+        # no GSPMD partitioning rule, so the compiler would replicate their
+        # sharded operands (an all-gather of the whole KV pool per layer);
+        # the XLA formulations shard cleanly on the head axis
+        self._attn_impl = (
+            "xla"
+            if mesh is not None and dict(mesh.shape).get("model", 1) > 1
+            else "auto"
+        )
         self._admit_fns = {}
         self._chunk_fns = {}
         self._release_fns = {}  # set_done → jitted row-release program
@@ -482,6 +492,7 @@ class SlotDecoder:
         key = (n, T)
         if key not in self._admit_fns:
             cfg, eos, max_new = self.cfg, self.eos_id, self.max_new
+            attn_impl = self._attn_impl
 
             @self._jit_state_fn
             def fn(params, state: SlotState, embeds, mask, slot_ids, budgets,
@@ -490,7 +501,7 @@ class SlotDecoder:
 
                 tmp = init_kv_cache(cfg, n, T, dtype=self.cache_dtype)
                 out = llama_forward(
-                    params, cfg,
+                    params, cfg, attn_impl=attn_impl,
                     inputs_embeds=embeds, attn_mask=mask,
                     kv_cache=tmp, cache_offset=jnp.int32(0),
                     last_logit_only=True,
@@ -544,6 +555,7 @@ class SlotDecoder:
         key = ("paged", n, T)
         if key not in self._admit_fns:
             cfg, eos, max_new = self.cfg, self.eos_id, self.max_new
+            attn_impl = self._attn_impl
 
             @self._jit_state_fn
             def fn(params, state: SlotState, embeds, mask, slot_ids, budgets,
@@ -553,7 +565,7 @@ class SlotDecoder:
 
                 tmp = init_kv_cache(cfg, n, T, dtype=self.cache_dtype)
                 out = llama_forward(
-                    params, cfg,
+                    params, cfg, attn_impl=attn_impl,
                     inputs_embeds=embeds, attn_mask=mask,
                     kv_cache=tmp, cache_offset=jnp.int32(0),
                     last_logit_only=True,
@@ -625,6 +637,7 @@ class SlotDecoder:
     def _chunk_fn(self, k_steps: int):
         if k_steps not in self._chunk_fns:
             cfg, eos = self.cfg, self.eos_id
+            attn_impl = self._attn_impl
             N = self.n_slots
 
             paged = self.paged
@@ -636,7 +649,7 @@ class SlotDecoder:
                     positions = (s.offsets - s.pad_lens)[:, None]
                     if paged:
                         out = llama_forward(
-                            params, cfg,
+                            params, cfg, attn_impl=attn_impl,
                             input_ids=s.last_token[:, None],
                             attn_mask=jnp.ones((N, 1), bool),
                             positions=positions,
@@ -648,7 +661,7 @@ class SlotDecoder:
                         )
                     else:
                         out = llama_forward(
-                            params, cfg,
+                            params, cfg, attn_impl=attn_impl,
                             input_ids=s.last_token[:, None],
                             attn_mask=jnp.ones((N, 1), bool),
                             positions=positions,
@@ -754,6 +767,7 @@ class SlotDecoder:
         key = ("spec", k_steps)
         if key not in self._chunk_fns:
             cfg, eos = self.cfg, self.eos_id
+            attn_impl = self._attn_impl
             N = self.n_slots
             K = self.spec_k
             paged = self.paged
@@ -769,7 +783,7 @@ class SlotDecoder:
                     )[None, :]
                     if paged:
                         out = llama_forward(
-                            params, cfg,
+                            params, cfg, attn_impl=attn_impl,
                             input_ids=seq,
                             attn_mask=jnp.ones((N, K + 1), bool),
                             positions=positions,
@@ -782,7 +796,7 @@ class SlotDecoder:
                         )
                     else:
                         out = llama_forward(
-                            params, cfg,
+                            params, cfg, attn_impl=attn_impl,
                             input_ids=seq,
                             attn_mask=jnp.ones((N, K + 1), bool),
                             positions=positions,

@@ -96,7 +96,10 @@ def audio_embed_lengths(setup: AudioEncoderParams, audio_len_samples: jnp.ndarra
     """Vectorized compute_num_audio_embeds (reference: utils.py:13-24)."""
     sr = setup.sampling_rate
     num_frames = (audio_len_samples - (sr // 100)) // (sr // 50)
-    return (num_frames // setup.downsample_factor - 1).astype(jnp.int32)
+    # floor at 0: sub-~90 ms audio would yield -1, and a negative emb_len
+    # shifts the splice's suffix boundary INTO the prefix (silently
+    # malformed prompt)
+    return jnp.maximum(num_frames // setup.downsample_factor - 1, 0).astype(jnp.int32)
 
 
 def audio_encoder_forward(
@@ -176,7 +179,7 @@ def audio_encoder_forward(
         raise ValueError(f"invalid downsampling method '{method}'")  # reference: audio_encoder.py:85
 
     embeds = pooled @ params["proj_w"].astype(pooled.dtype) + params["proj_b"]
-    emb_lens = jnp.minimum(emb_lens, embeds.shape[1])
+    emb_lens = jnp.clip(emb_lens, 0, embeds.shape[1])
     return embeds, emb_lens
 
 

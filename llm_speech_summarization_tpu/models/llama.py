@@ -291,21 +291,35 @@ def _block(
         )  # (B, S+T, Hkv, Dh)
         v_att = jnp.concatenate([v_cache.transpose(0, 2, 1, 3).astype(q.dtype), v], axis=1)
         attn = dot_product_attention(q, k_att, v_att, attn_args[0])
-    elif attn_kind == "decode_paged":
+    elif attn_kind in ("decode_paged", "decode_paged_xla"):
         # paged KV cache (infer/paged.py): per-layer pools ride the scan xs,
         # the fresh token is attended in-VMEM and scattered into the pools
-        # by the caller-visible write after the scan
-        from ..kernels.paged_attention import paged_decode_attention
+        # by the caller-visible write after the scan. "decode_paged_xla"
+        # forces the XLA oracle: a pallas_call has no GSPMD partitioning
+        # rule, so under a model-sharded mesh the kernel would force the
+        # sharded pools replicated (an all-gather of the whole KV pool per
+        # layer) — the einsum oracle shards cleanly on the head axis
+        # (parallel/sharding.py::slot_state_spec).
+        from ..kernels.paged_attention import (
+            paged_decode_attention,
+            paged_reference,
+        )
 
         if len(cache_kv) == 4:  # int8 pools + per-slot scales
             k_pool, v_pool, k_sc, v_sc = cache_kv
         else:
             (k_pool, v_pool), k_sc, v_sc = cache_kv, None, None
         page_table, lengths, pad_lens = attn_args
-        attn = paged_decode_attention(
-            q, k_pool, v_pool, page_table, lengths, pad_lens, k, v,
-            k_scale=k_sc, v_scale=v_sc,
-        )
+        if attn_kind == "decode_paged_xla":
+            attn = paged_reference(
+                q, k_pool, v_pool, page_table, lengths, pad_lens, k, v,
+                k_scale=k_sc, v_scale=v_sc,
+            )
+        else:
+            attn = paged_decode_attention(
+                q, k_pool, v_pool, page_table, lengths, pad_lens, k, v,
+                k_scale=k_sc, v_scale=v_sc,
+            )
     elif attn_kind == "decode_pallas":
         from ..kernels.decode_attention import decode_attention
 
@@ -524,7 +538,7 @@ def llama_forward(
         # decode (T == 1) or a speculative (k+1)-token verification forward
         # (T > 1, infer/slots.py) — prefill still goes dense→scatter; the
         # paged kernel attends the fresh block causally
-        attn_kind = "decode_paged"
+        attn_kind = "decode_paged_xla" if attn_impl == "xla" else "decode_paged"
         attn_args = (kv_cache.page_table, kv_cache.lengths, kv_cache.pad_lens)
     else:
         assert cache_offset is not None

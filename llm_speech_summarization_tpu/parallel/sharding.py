@@ -30,7 +30,20 @@ def llama_param_spec(params: Any) -> Any:
     ``w_gateup`` shard on the fused out-feature axis, and int8 ``*_scale``
     vectors shard along the same axis as the weight dimension they scale
     (out-features for the column-parallel mats, replicated for the
-    row-parallel ones whose out dim is the replicated D)."""
+    row-parallel ones whose out dim is the replicated D).
+
+    KNOWN CAVEAT (fused layouts × TP, multi-chip efficiency): contiguous
+    sharding of the fused out axis crosses the static Q|K|V (gate|up)
+    split boundaries — e.g. Hq=24, Hkv=8, Dh=128, tp=8 puts shard edges
+    every 640 columns while the Q|K splits sit at 3072/4096 — so GSPMD
+    inserts reshards at llama.py's post-matmul slices instead of the
+    Megatron zero-comm split, and the resulting K/V shards need
+    realignment against the head-sharded slot cache. Token-correct
+    (tests/test_serve_mesh.py::test_tp_quantized_fused_params_shard_and_
+    generate) but not collective-minimal; for peak TP decode on real
+    multi-chip hardware serve the UNFUSED layout (skip fuse_llama_params)
+    or add a per-shard-interleaved fused column order. Unmeasurable in
+    this single-chip environment — recorded rather than guessed at."""
 
     def spec_for(path: str, x) -> P:
         nd = getattr(x, "ndim", 0)
