@@ -25,7 +25,7 @@ def main(argv=None):
 
     enable_compilation_cache()
     parser = argparse.ArgumentParser()
-    parser.add_argument("kind", choices=["llm", "encoder"])
+    parser.add_argument("kind", choices=["llm", "encoder", "ctc"])
     parser.add_argument("--hf_dir", type=str, required=True,
                         help="local HF checkpoint dir (safetensors or .bin)")
     parser.add_argument("--output", type=str, required=True)
@@ -41,6 +41,7 @@ def main(argv=None):
 
     from ..models.convert import (
         convert_hubert,
+        convert_hubert_ctc,
         convert_llama,
         convert_whisper_encoder,
         load_hf_state_dict,
@@ -56,6 +57,15 @@ def main(argv=None):
         cfg = llama_preset(args.preset)
         params = convert_llama(sd, cfg, dtype)
         payload = {"llm_params": params}
+    elif args.kind == "ctc":
+        # HF HubertForCTC (facebook/hubert-large-ls960-ft) → the word-offset
+        # model the preprocess CLI's --ctc flag consumes
+        # (reference: preprocess_data/utils.py:127-152)
+        from ..models.hubert import hubert_preset
+
+        cfg = hubert_preset(args.preset or "hubert_large")
+        enc, head = convert_hubert_ctc(sd, cfg, dtype)
+        payload = {"enc_params": enc, "head_params": head}
     else:
         from ..configs import load_config
         from ..models.audio_encoder import encoder_setup_from_config, init_audio_encoder

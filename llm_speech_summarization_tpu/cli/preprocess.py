@@ -33,6 +33,15 @@ def main(argv=None):
     parser.add_argument("--output", type=str, required=True)
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--ctc_preset", type=str, default="hubert_large",
+                        help="HuBERT preset of the --ctc checkpoint")
+    parser.add_argument("--ctc_vocab", type=int, default=32,
+                        help="CTC head vocab of the --ctc checkpoint")
+    parser.add_argument("--ctc", type=str, default=None,
+                        help="HuBERT-CTC checkpoint dir (cli/convert.py ctc) "
+                        "-> emit word offsets + pool_ranges_4 (steps 3-4; "
+                        "omitting leaves the llama3-style dummy columns, "
+                        "reference: preprocess_llama3.py:113-122)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -68,11 +77,41 @@ def main(argv=None):
                 wav = np.asarray(audio["array"] if isinstance(audio, dict) else audio, np.float32)
                 examples.append({"audio": wav, "text": row["text"]})
 
+    ctc_fn = None
+    if args.ctc:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        from ..data.preprocess import make_ctc_fn
+        from ..models.hubert import hubert_preset, init_hubert_ctc_head
+
+        import jax
+
+        from ..models.hubert import init_hubert_params
+
+        ckptr = ocp.StandardCheckpointer()
+        cfg_ctc = hubert_preset(args.ctc_preset)
+        # StandardCheckpointer restores against concrete templates
+        template = {
+            "enc_params": init_hubert_params(
+                jax.random.PRNGKey(0), cfg_ctc, dtype=jax.numpy.float32
+            ),
+            "head_params": init_hubert_ctc_head(
+                jax.random.PRNGKey(0), cfg_ctc, vocab_size=args.ctc_vocab,
+                dtype=jax.numpy.float32,
+            ),
+        }
+        restored = ckptr.restore(os.path.abspath(args.ctc), template)
+        ctc_fn = make_ctc_fn(
+            restored["enc_params"], restored["head_params"], cfg_ctc
+        )
+
     rows = preprocess_examples(
         examples,
         engine,
         engine.tokenizer,
-        ctc_fn=None,  # CTC offsets need a CTC-head checkpoint; see data/preprocess.py
+        ctc_fn=ctc_fn,
         max_seconds=config.audio.max_seconds,
         sampling_rate=config.audio.sampling_rate,
         response_batch_size=args.batch_size,

@@ -188,14 +188,36 @@ def make_ctc_fn(enc_params, head_params, enc_cfg, blank_id: int = 0, word_delim_
     (<pad>=0 is the blank, '|'=4 the word delimiter), the model the
     reference uses for offsets (reference: preprocess_data/utils.py:134-141).
     """
+    import jax
     import jax.numpy as jnp
 
     from ..models.hubert import hubert_ctc_logits
 
+    # ONE fat jitted program per 1 s length bucket (≤ max_seconds compiles
+    # for a whole split): an eager unjitted forward per variable-length
+    # utterance is hundreds of per-op dispatches at ~100-200 ms each on
+    # remote-attached backends, and a naively jitted one recompiles per
+    # unique audio length (CLAUDE.md dispatch rules)
+    bucket = 16000  # 1 s at 16 kHz
+    fns = {}
+
     def ctc_fn(audio):
-        wav = jnp.asarray(audio, jnp.float32)[None, :]
-        logits, _ = hubert_ctc_logits(enc_params, head_params, enc_cfg, wav)
-        pred_ids = np.asarray(jnp.argmax(logits[0], axis=-1))
+        wav = np.asarray(audio, np.float32)
+        n = len(wav)
+        N = max(bucket, -(-n // bucket) * bucket)
+        if N not in fns:
+            fns[N] = jax.jit(
+                lambda w, m: hubert_ctc_logits(
+                    enc_params, head_params, enc_cfg, w, m
+                )
+            )
+        padded = np.zeros((1, N), np.float32)
+        padded[0, :n] = wav
+        mask = np.zeros((1, N), bool)
+        mask[0, :n] = True
+        logits, frame_mask = fns[N](jnp.asarray(padded), jnp.asarray(mask))
+        n_frames = int(np.asarray(jnp.sum(frame_mask[0].astype(jnp.int32))))
+        pred_ids = np.asarray(jnp.argmax(logits[0], axis=-1))[:n_frames]
         return pred_ids, blank_id, word_delim_id
 
     return ctc_fn

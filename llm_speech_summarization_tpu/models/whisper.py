@@ -160,11 +160,19 @@ def log_mel_spectrogram(
     frames = x[:, idx]  # (B, T, n_fft)
 
     real_b, imag_b = _dft_basis(n_fft)
-    real = frames @ jnp.asarray(real_b)
-    imag = frames @ jnp.asarray(imag_b)
+    # precision=HIGHEST: this backend's f32 matmul default is LOW precision
+    # (CLAUDE.md) — the DFT/mel projections must not drift from HF on TPU
+    # when the CPU parity tests say they match
+    hp = jax.lax.Precision.HIGHEST
+    real = jnp.matmul(frames, jnp.asarray(real_b), precision=hp)
+    imag = jnp.matmul(frames, jnp.asarray(imag_b), precision=hp)
     power = real * real + imag * imag  # (B, T, F)
 
-    mel = power @ jnp.asarray(_mel_filters(cfg.sampling_rate, n_fft, cfg.num_mel_bins))
+    mel = jnp.matmul(
+        power,
+        jnp.asarray(_mel_filters(cfg.sampling_rate, n_fft, cfg.num_mel_bins)),
+        precision=hp,
+    )
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     log_spec = jnp.maximum(log_spec, jnp.max(log_spec, axis=(1, 2), keepdims=True) - 8.0)
     log_spec = (log_spec + 4.0) / 4.0
@@ -233,6 +241,12 @@ def whisper_forward(
                     approximate=False)
     h = x.transpose(0, 2, 1)  # (B, T, D)
     T = h.shape[1]
+    if T > params["pos_embed"].shape[0]:
+        raise ValueError(
+            f"mel input yields {T} encoder frames > max_source_positions "
+            f"{params['pos_embed'].shape[0]} (the 30 s whisper budget) — "
+            "pad_to_frames/truncate the mel like HF does"
+        )
     h = h + params["pos_embed"][None, :T]
 
     if mel_frame_counts is None:

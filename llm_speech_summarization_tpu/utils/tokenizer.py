@@ -94,11 +94,26 @@ class HFTokenizer:
         self.bos_id = self._tok.bos_token_id
         self.eos_id = self._tok.eos_token_id
         self.pad_id = self._tok.pad_token_id
+        if self.bos_id is None:
+            # the repo-wide BOS-strip contract (prefix ids include BOS;
+            # suffix/response ids strip it — data/datasets.py, ops/splice.py)
+            # silently DELETES the first content token of every sequence
+            # under a BOS-less tokenizer; fail loudly instead
+            raise ValueError(
+                f"tokenizer {path_or_id!r} has no BOS token; this framework's "
+                "BOS-strip data contract (reference: utils.py:27-73) requires "
+                "one — use a Llama/MiniChat-family tokenizer"
+            )
 
     def encode(self, text: str, add_bos: bool = True) -> List[int]:
-        ids = self._tok(text, add_special_tokens=True).input_ids
-        if not add_bos and ids and ids[0] == self.bos_id:
-            ids = ids[1:]
+        # encode WITHOUT special tokens and add BOS ourselves: relying on
+        # add_special_tokens=True assumes it prepends exactly a BOS, but a
+        # checkpoint exported with add_eos_token=True would also APPEND an
+        # EOS that the loaders' BOS-only strip leaves embedded mid-sequence
+        # (the KD loss would then teach early EOS)
+        ids = self._tok(text, add_special_tokens=False).input_ids
+        if add_bos:
+            ids = [self.bos_id] + ids
         return ids
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:

@@ -49,6 +49,15 @@ echo "== [2/5] convert encoder -> $OUT/hubert_large"
 [ -d "$OUT/hubert_large" ] || python -m llm_speech_summarization_tpu.cli.convert encoder \
     -c "$CFG_IN" --hf_dir "$HF_HUBERT" --output "$OUT/hubert_large"
 
+# optional: a HubertForCTC checkpoint (facebook/hubert-large-ls960-ft with
+# its lm_head) enables the preprocess CLI's --ctc word-offset stage for
+# ctc_pool configs: set HF_HUBERT_CTC=/path/to/hubert-large-ls960-ft
+if [ -n "${HF_HUBERT_CTC:-}" ]; then
+  echo "== [2b] convert HuBERT-CTC -> $OUT/hubert_ctc"
+  [ -d "$OUT/hubert_ctc" ] || python -m llm_speech_summarization_tpu.cli.convert ctc \
+      --hf_dir "$HF_HUBERT_CTC" --output "$OUT/hubert_ctc"
+fi
+
 echo "== write $CFG (checkpoints + real tokenizer wired in)"
 python - "$CFG_IN" "$CFG" <<EOF
 import sys, yaml
