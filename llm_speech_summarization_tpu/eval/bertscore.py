@@ -92,7 +92,14 @@ def bert_score(
     def weights(ids: List[int]) -> Optional[np.ndarray]:
         if idf_map is None:
             return None
-        return np.asarray([idf_map.get(t, math.log(len(refs) + 1)) for t in ids])
+        w = np.asarray([idf_map.get(t, math.log(len(refs) + 1)) for t in ids])
+        # tiny corpora degenerate: with N references where every token
+        # appears in all of them, idf = log((N+1)/(N+1)) = 0 for ALL
+        # tokens (guaranteed at N=1) and recall/f1 would report 0.0
+        # regardless of similarity — fall back to uniform weighting
+        if w.size and not w.any():
+            return None
+        return w
 
     ps, rs, fs = [], [], []
     for (ce, cids), (re_, rids) in zip(cands, refs):
@@ -150,7 +157,11 @@ class LlamaEmbedder:
         out: List[Tuple[np.ndarray, List[int]]] = []
         for i in range(0, len(all_ids), self.batch_size):
             chunk = all_ids[i : i + self.batch_size]
-            B = len(chunk)
+            # pad the batch dim to batch_size: every distinct (B, L) pair
+            # compiles a fresh full-LLM program (the engine pads the same
+            # way, infer/engine.py::_pad_batch), so a trailing B=2 chunk
+            # would cost a minutes-long compile on remote backends
+            B = self.batch_size
             L = max(max((len(x) for x in chunk), default=1), 1)
             L = ((L + 63) // 64) * 64
             ids = np.zeros((B, L), np.int32)

@@ -77,6 +77,12 @@ def evaluate_engine(
         # full decode; TTFT ≈ prompt+prefill, measured via 1-token decode)
         lat_e2e, lat_ttft = [], []
         probe = examples[: min(8, n)]
+        # warm every (B=1, audio-bucket, budget) program shape FIRST: an
+        # unwarmed probe times XLA compilation (minutes on remote-compile
+        # backends), and with 8 samples the p90 would be compile time
+        for e in probe:
+            engine.generate_audio_response(e["audio"], max_new_tokens=1)
+            engine.generate_audio_response(e["audio"], max_new_tokens=max_new_tokens)
         for e in probe:
             t0 = time.perf_counter()
             engine.generate_audio_response(e["audio"], max_new_tokens=1)

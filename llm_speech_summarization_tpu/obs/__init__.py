@@ -1,3 +1,4 @@
+from .profile import StepTimer, annotate, trace
 from .writer import MetricsWriter
 
-__all__ = ["MetricsWriter"]
+__all__ = ["MetricsWriter", "StepTimer", "annotate", "trace"]

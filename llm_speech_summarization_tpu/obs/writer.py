@@ -71,9 +71,10 @@ class MetricsWriter:
         text_responses=None,
         sampling_rate: int = 16000,
     ):
-        n = max(len(x) for x in (prompt_texts or [], audio_responses or [], text_responses or []) if x is not None) if any(
-            x for x in (prompt_texts, audio_responses, text_responses)
-        ) else 0
+        # prompt_audios participates in the bound: an audio-only call (or
+        # more clips than texts) must not silently drop clips
+        fields = (prompt_audios, prompt_texts, audio_responses, text_responses)
+        n = max((len(x) for x in fields if x), default=0)
         for i in range(n):
             if self._tb is not None:
                 if prompt_audios is not None and i < len(prompt_audios):

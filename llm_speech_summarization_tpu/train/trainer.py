@@ -316,6 +316,11 @@ class Trainer:
             # restored epoch resumes in place, trainer.py:116-132) — the
             # old start+epochs bound made every preempted+resumed run
             # train MORE total epochs than an uninterrupted one
+            # env-gated device trace window: LSS_PROFILE_DIR=/tmp/trace
+            # [LSS_PROFILE_STEPS=3] captures steps 2..2+N (skipping the
+            # step-1 compile) for TensorBoard's profile plugin
+            prof_dir = os.environ.get("LSS_PROFILE_DIR")
+            prof_steps = int(os.environ.get("LSS_PROFILE_STEPS", "3"))
             for epoch in range(self.start_epoch, tcfg.epochs):
                 print(f"Epoch {epoch}")
                 t0 = time.time()
@@ -333,6 +338,15 @@ class Trainer:
                     step_fn = self._get_train_step(batch.wav.shape[1])
                     self.state, metrics = step_fn(self.state, self.llm_params, batch)
                     self.step += 1
+                    if prof_dir:
+                        import jax as _jax
+
+                        if self.step == 2:
+                            _jax.profiler.start_trace(prof_dir)
+                        elif self.step == 2 + prof_steps:
+                            _jax.profiler.stop_trace()
+                            print(f"profile trace written to {prof_dir}")
+                            prof_dir = None
 
                     if self.step % log_int == 0:
                         host = {k: float(v) for k, v in metrics.items()}
