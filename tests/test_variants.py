@@ -139,3 +139,29 @@ def test_whisper_dynamic_frames_matches_fixed():
             np.asarray(e_dyn[b, :n]), np.asarray(e_fixed[b, :n]),
             rtol=2e-4, atol=2e-4,
         )
+
+
+def test_minichat_template_end_to_end_tiny():
+    """BASELINE config #1's path at tiny scale: the MiniChat chat template
+    ([|User|] ... </s>[|Assistant|], reference: utils.py:7-8) drives
+    text AND audio generation through the engine — template selection by
+    llm_type, BOS-strip, splice and decode all on the MiniChat surface."""
+    import numpy as np
+
+    from llm_speech_summarization_tpu.configs import load_config
+    from llm_speech_summarization_tpu.infer.engine import LLMSpeechTextInference
+    from llm_speech_summarization_tpu.utils.prompts import prompt_template_for
+
+    cfg = load_config(TINY_YAML)
+    cfg.model.llm_type = "GeneZC/MiniChat-2-3B"
+    tpl = prompt_template_for(cfg.model.llm_type)
+    assert "[|User|]" in tpl.prefix and "[|Assistant|]" in tpl.suffix
+
+    eng = LLMSpeechTextInference(cfg)
+    out_t = eng.generate_text_response("summarize this speech", max_new_tokens=8)
+    assert isinstance(out_t, str)
+    wav = (0.05 * np.random.RandomState(0).randn(8000)).astype(np.float32)
+    out_a = eng.generate_audio_response(wav, max_new_tokens=8)
+    assert isinstance(out_a, str)
+    # determinism: same audio, same stream
+    assert out_a == eng.generate_audio_response(wav, max_new_tokens=8)
