@@ -30,7 +30,8 @@ def main(argv=None):
                         help="local HF checkpoint dir (safetensors or .bin)")
     parser.add_argument("--output", type=str, required=True)
     parser.add_argument("--preset", type=str, default=None,
-                        help="llm preset name (llm kind)")
+                        help="llm preset name (llm kind) or HuBERT preset "
+                        "(ctc kind; default hubert_large)")
     parser.add_argument("-c", "--config", type=str, default=None,
                         help="framework yaml (encoder kind)")
     parser.add_argument("--dtype", type=str, default="bfloat16")
@@ -53,7 +54,8 @@ def main(argv=None):
     if args.kind == "llm":
         from ..models.llama import llama_preset
 
-        assert args.preset, "--preset required for llm conversion"
+        if not args.preset:
+            parser.error("--preset required for llm conversion")
         cfg = llama_preset(args.preset)
         params = convert_llama(sd, cfg, dtype)
         payload = {"llm_params": params}
@@ -70,7 +72,8 @@ def main(argv=None):
         from ..configs import load_config
         from ..models.audio_encoder import encoder_setup_from_config, init_audio_encoder
 
-        assert args.config, "--config required for encoder conversion"
+        if not args.config:
+            parser.error("--config required for encoder conversion")
         fw_cfg = load_config(args.config)
         setup = encoder_setup_from_config(fw_cfg)
         if setup.base == "hubert":

@@ -42,6 +42,14 @@ def main(argv=None):
                         help="damp repeated tokens (the reference documents "
                         "greedy repetition loops as a known failure, "
                         "inference.py:169-171; try 1.2)")
+    parser.add_argument("--ctc", type=str, default=None,
+                        help="HuBERT-CTC checkpoint dir (cli/convert.py ctc) "
+                        "— REQUIRED for ctc_pool configs: computes each "
+                        "clip's pool ranges on the fly (the stage the "
+                        "reference calls through an undefined function, "
+                        "inference.py:102)")
+    parser.add_argument("--ctc_preset", type=str, default="hubert_large")
+    parser.add_argument("--ctc_vocab", type=int, default=32)
     parser.add_argument("--speculative_k", type=int, default=0,
                         help="self-speculative decoding lookahead for the "
                         "greedy decode (0 = off; token-exact acceleration, "
@@ -61,8 +69,20 @@ def main(argv=None):
         speculative_k=args.speculative_k,
     )
 
+    ranges_fn = None
+    if engine.encoder_setup.downsample_method == "ctc_pool":
+        if not args.ctc:
+            parser.error(
+                "this config uses downsample_method=ctc_pool: pass "
+                "--ctc <HuBERT-CTC checkpoint> (cli/convert.py ctc)"
+            )
+        from ..data.preprocess import load_ctc_fn, pool_ranges_for_audio
+
+        ctc_fn = load_ctc_fn(args.ctc, args.ctc_preset, args.ctc_vocab)
+        ranges_fn = lambda a: pool_ranges_for_audio(ctc_fn, a)  # noqa: E731
+
     if args.audio_dir is not None:
-        _bulk(engine, config, args)
+        _bulk(engine, config, args, ranges_fn)
         return
 
     audio = load_audio(args.audio_file, target_sr=config.audio.sampling_rate)
@@ -70,12 +90,13 @@ def main(argv=None):
         audio,
         additional_text_prompt=args.text,
         max_new_tokens=args.max_new_tokens,
+        ctc_pool_ranges=ranges_fn(audio) if ranges_fn else None,
     )
     print("LLM Response:\n")
     print(response)
 
 
-def _bulk(engine, config, args):
+def _bulk(engine, config, args, ranges_fn=None):
     """Directory → JSONL through the pipelined batch stream. Files are
     size-sorted (a cheap stat-only length proxy — same codec, longer file ≈
     longer clip) so each batch shares a prompt bucket, audio loads LAZILY
@@ -101,12 +122,20 @@ def _bulk(engine, config, args):
     bs = max(1, args.batch_size)
     groups = [order[i:i + bs] for i in range(0, len(order), bs)]
 
+    batch_audio = {}  # current group's audio, shared with the ranges iter
+
     def lazy_batches():
-        for g in groups:
-            yield [
+        for gi, g in enumerate(groups):
+            batch_audio[gi] = [
                 load_audio(paths[i], target_sr=config.audio.sampling_rate)
                 for i in g
             ]
+            batch_audio.pop(gi - 2, None)  # keep ~2 groups in RAM
+            yield batch_audio[gi]
+
+    def lazy_ranges():
+        for gi, g in enumerate(groups):
+            yield [ranges_fn(a) for a in batch_audio[gi]]
 
     sink = open(args.output, "w") if args.output else sys.stdout
     written = 0
@@ -117,6 +146,7 @@ def _bulk(engine, config, args):
                 lazy_batches(),
                 additional_text_prompt=args.text,
                 max_new_tokens=args.max_new_tokens,
+                ctc_pool_ranges=lazy_ranges() if ranges_fn else None,
             ),
         ):
             for i, out in zip(g, outs):

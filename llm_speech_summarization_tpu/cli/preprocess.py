@@ -57,9 +57,11 @@ def main(argv=None):
         from ..data.datasets import SyntheticSpeechDataset
 
         ds = SyntheticSpeechDataset(engine.tokenizer, num_samples=args.synthetic)
-        examples = [{"audio": ds[i]["audio"], "text": ds[i]["text"]} for i in range(len(ds))]
+        rows_ = [ds[i] for i in range(len(ds))]  # one synthesis per index
+        examples = [{"audio": r["audio"], "text": r["text"]} for r in rows_]
     else:
-        assert args.input, "--input or --synthetic required"
+        if not args.input:
+            parser.error("--input or --synthetic required")
         from ..data.datasets import load_librispeech_dir
 
         examples = load_librispeech_dir(
@@ -79,33 +81,9 @@ def main(argv=None):
 
     ctc_fn = None
     if args.ctc:
-        import os
+        from ..data.preprocess import load_ctc_fn
 
-        import orbax.checkpoint as ocp
-
-        from ..data.preprocess import make_ctc_fn
-        from ..models.hubert import hubert_preset, init_hubert_ctc_head
-
-        import jax
-
-        from ..models.hubert import init_hubert_params
-
-        ckptr = ocp.StandardCheckpointer()
-        cfg_ctc = hubert_preset(args.ctc_preset)
-        # StandardCheckpointer restores against concrete templates
-        template = {
-            "enc_params": init_hubert_params(
-                jax.random.PRNGKey(0), cfg_ctc, dtype=jax.numpy.float32
-            ),
-            "head_params": init_hubert_ctc_head(
-                jax.random.PRNGKey(0), cfg_ctc, vocab_size=args.ctc_vocab,
-                dtype=jax.numpy.float32,
-            ),
-        }
-        restored = ckptr.restore(os.path.abspath(args.ctc), template)
-        ctc_fn = make_ctc_fn(
-            restored["enc_params"], restored["head_params"], cfg_ctc
-        )
+        ctc_fn = load_ctc_fn(args.ctc, args.ctc_preset, args.ctc_vocab)
 
     rows = preprocess_examples(
         examples,

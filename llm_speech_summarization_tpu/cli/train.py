@@ -40,7 +40,14 @@ def main(argv=None):
 
     config = load_config(args.config)
     if args.mesh:
-        sizes = [int(x) for x in args.mesh.split(",")]
+        try:
+            sizes = [int(x) for x in args.mesh.split(",")]
+        except ValueError:
+            sizes = []
+        if len(sizes) not in (2, 3):
+            parser.error(
+                f"--mesh must be 'data,model' or 'data,seq,model' ints, got {args.mesh!r}"
+            )
         if len(sizes) == 3:
             config.train.mesh.data, config.train.mesh.seq, config.train.mesh.model = sizes
         else:

@@ -217,7 +217,12 @@ def _build(cls: Any, raw: Any, path: str) -> Any:
     kwargs = {}
     for name, value in raw.items():
         f = fields[name]
-        sub = f.type if isinstance(f.type, type) else None
+        # NOTE: with `from __future__ import annotations` f.type is always
+        # a STRING, so nested dataclasses are handled exclusively through
+        # the default_factory path below — there is deliberately no
+        # type-object branch here (one existed, dead, implying a safety
+        # net that never fired)
+        sub = None
         # resolve nested dataclass types declared via default_factory
         factory = f.default_factory if f.default_factory is not dataclasses.MISSING else None  # type: ignore[misc]
         if factory is not None and dataclasses.is_dataclass(factory):
@@ -244,7 +249,11 @@ def load_config(path_or_dict) -> Config:
     ``train.num_gpus`` (device count comes from the mesh here).
     """
     if isinstance(path_or_dict, dict):
-        raw = dict(path_or_dict)
+        import copy
+
+        # deep copy: the num_gpus pop below must not mutate the CALLER's
+        # nested dict (a shallow dict() shares the nested train mapping)
+        raw = copy.deepcopy(path_or_dict)
     else:
         with open(path_or_dict) as f:
             raw = yaml.safe_load(f) or {}

@@ -223,6 +223,47 @@ def make_ctc_fn(enc_params, head_params, enc_cfg, blank_id: int = 0, word_delim_
     return ctc_fn
 
 
+def load_ctc_fn(checkpoint_dir: str, preset: str = "hubert_large",
+                vocab_size: int = 32):
+    """Restore a `cli/convert.py ctc` checkpoint into a ready ``ctc_fn``
+    (shared by the preprocess and infer CLIs)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from ..models.hubert import (
+        hubert_preset,
+        init_hubert_ctc_head,
+        init_hubert_params,
+    )
+
+    cfg = hubert_preset(preset)
+    template = {
+        "enc_params": init_hubert_params(
+            jax.random.PRNGKey(0), cfg, dtype=jnp.float32
+        ),
+        "head_params": init_hubert_ctc_head(
+            jax.random.PRNGKey(0), cfg, vocab_size=vocab_size, dtype=jnp.float32
+        ),
+    }
+    restored = ocp.StandardCheckpointer().restore(
+        os.path.abspath(checkpoint_dir), template
+    )
+    return make_ctc_fn(restored["enc_params"], restored["head_params"], cfg)
+
+
+def pool_ranges_for_audio(ctc_fn, audio) -> np.ndarray:
+    """audio → (G, 2) pool ranges via CTC word offsets (steps 3-4 for ONE
+    clip — the inference-time path the reference left calling an undefined
+    function, reference: inference.py:102)."""
+    pred_ids, blank_id, delim_id = ctc_fn(audio)
+    offsets = word_offsets_from_ctc(pred_ids, blank_id, delim_id)
+    ranges = get_ctc_pool_ranges(offsets, 4)
+    return np.asarray(ranges if ranges else [(0, 1)], np.int32)
+
+
 # ---------------------------------------------------------------------------
 # Orchestration
 # ---------------------------------------------------------------------------
