@@ -193,14 +193,37 @@ def load_librispeech_dir(path: str, target_sr: int = 16000, limit=None):
     if not audio_paths:
         return None
 
-    examples = []
+    pairs = []
     for utt in sorted(audio_paths):
-        if limit is not None and len(examples) >= limit:
+        if limit is not None and len(pairs) >= limit:
             break
         text = transcripts.get(utt)
         if text is None:
             continue  # reference pairs audio with its transcript; skip orphans
-        examples.append(
-            {"audio": load_audio(audio_paths[utt], target_sr), "text": text}
-        )
-    return examples
+        pairs.append((audio_paths[utt], text))
+    return _LazyAudioExamples(pairs, target_sr)
+
+
+class _LazyAudioExamples:
+    """List-like {audio, text} view that decodes audio ON ACCESS: a full
+    LibriSpeech split is hours of waveform (~80 GB as float32 for
+    train-clean-360) — eagerly materializing it OOM'd before preprocessing
+    even started. Single-pass consumers (preprocess_examples) decode each
+    utterance exactly once."""
+
+    def __init__(self, pairs, target_sr: int):
+        self._pairs = pairs
+        self._target_sr = target_sr
+
+    def __len__(self):
+        return len(self._pairs)
+
+    def __getitem__(self, i):
+        from .audio_io import load_audio
+
+        path, text = self._pairs[i]
+        return {"audio": load_audio(path, self._target_sr), "text": text}
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]

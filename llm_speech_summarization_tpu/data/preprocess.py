@@ -284,14 +284,24 @@ def preprocess_examples(
     framewise predictions (None → steps 3-4 emit empty columns, exactly the
     reference's Llama-3 variant, reference: preprocess_llama3.py:113-122).
     """
-    kept = [
-        e for e in examples if len(e["audio"]) / sampling_rate <= max_seconds
-    ]  # reference: preprocess_data/utils.py:130
+    # filter by INDEX, not by materialized row: with a lazy audio source
+    # (data/datasets.py::_LazyAudioExamples) holding every kept row's
+    # decoded waveform here OOM'd a real split before step 1 even ran.
+    # (The output rows below still accumulate; streamed HF writes are the
+    # remaining lever for splits that exceed host RAM.)
+    keep_idx: List[int] = []
+    texts: List[str] = []
+    for i in range(len(examples)):
+        e = examples[i]  # reference: preprocess_data/utils.py:130
+        if len(e["audio"]) / sampling_rate <= max_seconds:
+            keep_idx.append(i)
+            texts.append(e["text"])
     responses = generate_llm_responses(
-        engine, [e["text"] for e in kept], batch_size=response_batch_size
+        engine, texts, batch_size=response_batch_size
     )
     out = []
-    for e, resp in zip(kept, responses):
+    for i, resp in zip(keep_idx, responses):
+        e = examples[i]
         row = dict(e)
         row["llm_response"] = resp
         row.update(tokenize_example(e["text"], resp, tokenizer))

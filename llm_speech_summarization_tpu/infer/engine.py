@@ -233,25 +233,10 @@ class LLMSpeechTextInference:
         traced per-row params, so one compiled program per bucket covers
         every greedy/sampling mix (infer/sampling.py)."""
         if sampling is not None and any(s is not None for s in sampling):
-            from .sampling import key_data_from_seed
+            from .sampling import pack_sampling_params
 
-            B = embeds.shape[0]
-            temps = np.zeros((B,), np.float32)
-            top_ks = np.zeros((B,), np.int32)
-            top_ps = np.ones((B,), np.float32)
-            rngs = np.zeros((B, 2), np.uint32)
-            for i, sp in enumerate(sampling[:B]):
-                if sp is None:
-                    continue
-                temperature, top_k, top_p, seed = sp
-                temps[i] = temperature
-                top_ks[i] = top_k
-                top_ps[i] = top_p
-                rngs[i] = key_data_from_seed(seed)
-            sampling = (
-                jnp.asarray(rngs), jnp.asarray(temps),
-                jnp.asarray(top_ks), jnp.asarray(top_ps),
-            )
+            packed = pack_sampling_params(sampling, embeds.shape[0])
+            sampling = tuple(jnp.asarray(x) for x in packed)
         else:
             sampling = None
         if (

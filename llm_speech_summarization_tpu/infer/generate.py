@@ -121,7 +121,8 @@ def greedy_generate(
     (B,), top_ks (B,), top_ps (B,))`` from infer/sampling.py — one compiled
     program serves any greedy/sampling request mix (rows with temps<=0
     decode exact-greedy). Draw t of row b is a pure function of
-    (rngs[b], L+t), so replays are reproducible.
+    (rngs[b], len_b+t) — len_b the row's UNPADDED prompt length — so a
+    seeded request replays identically in any batch composition.
 
     Returns (tokens (B, max_new_tokens) int32, eos-padded; lengths (B,)).
     """
@@ -140,8 +141,11 @@ def greedy_generate(
         s_rngs, s_temps, s_topks, s_topps = sampling
 
         def pick(rng_key, logits, position):
+            # position: (B,) UNPADDED per-row counter — the draw for a
+            # seeded request must not depend on what co-batched (bucketed
+            # padding varies with the wave)
             return sample_rows(
-                logits, s_rngs, jnp.full((B,), position, jnp.int32),
+                logits, s_rngs, position.astype(jnp.int32),
                 s_temps, s_topks, s_topps,
             )
     else:
@@ -159,8 +163,8 @@ def greedy_generate(
         last_logit_only=True,
     )
     rng, k0 = jax.random.split(rng)
-    first = pick(k0, out.logits[:, -1], L - 1)  # (B,)
     lens = jnp.sum(attn_mask.astype(jnp.int32), axis=1)  # (B,) real prefill lengths
+    first = pick(k0, out.logits[:, -1], lens - 1)  # (B,)
     pad_lens = (L - lens).astype(jnp.int32)  # valid cache slots start here
 
     tokens0 = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
@@ -203,7 +207,7 @@ def greedy_generate(
         logits = out.logits[:, 0]
         if use_rep:
             logits = _apply_repetition_penalty(logits, s.seen, repetition_penalty)
-        nxt = pick(k, logits, L + s.step - 1)
+        nxt = pick(k, logits, lens + s.step - 1)
         nxt = jnp.where(s.done, eos_id, nxt)
         tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, s.step))
         seen = s.seen.at[jnp.arange(B), nxt].set(True) if use_rep else s.seen

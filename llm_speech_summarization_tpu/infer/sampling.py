@@ -73,16 +73,21 @@ def _uniform_rows(rng: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
 def sample_rows(
     logits: jnp.ndarray,  # (N, V)
     rng: jnp.ndarray,  # (N, 2) uint32 seed words per row
-    positions: jnp.ndarray,  # (N,) int32 — the draw counter (cache offset)
+    positions: jnp.ndarray,  # (N,) int32 — the draw counter: the row's
+    # UNPADDED position (offset - pad_len). Callers must not key this to a
+    # padded/bucketed offset — bucket choice depends on what co-batches,
+    # and a seeded request must replay identically in any batch
     temps: jnp.ndarray,  # (N,) f32; <= 0 → greedy for that row
     top_ks: jnp.ndarray,  # (N,) int32; <= 0 → disabled
     top_ps: jnp.ndarray,  # (N,) f32; >= 1 → disabled
 ) -> jnp.ndarray:
     """(N,) int32 next-token ids with independent sampling params per row."""
     V = logits.shape[-1]
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     C = min(CANDIDATES, V)
     vals, idx = jax.lax.top_k(logits, C)  # (N, C), descending
+    # greedy == idx[:, 0] EXACTLY: lax.top_k sorts descending with ties
+    # toward lower indices, same as argmax — no second full-vocab scan
+    greedy = idx[:, 0].astype(jnp.int32)
     scaled = vals.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None]
     # per-row top-k: candidates are sorted, so top-k is a positional mask
     pos = jnp.arange(C)[None, :]
@@ -106,3 +111,27 @@ def sample_rows(
     )
     sampled = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
     return jnp.where(temps <= 0.0, greedy, sampled.astype(jnp.int32))
+
+
+def pack_sampling_params(sampling, n: int):
+    """Host-side packing shared by both schedulers: a length-n list of
+    ``(temperature, top_k, top_p, seed) | None`` → (rngs, temps, top_ks,
+    top_ps) numpy arrays, padded rows greedy. Returns None when every
+    entry is None (callers keep the greedy fast path)."""
+    import numpy as np
+
+    if sampling is None or all(s is None for s in sampling):
+        return None
+    temps = np.zeros((n,), np.float32)
+    top_ks = np.zeros((n,), np.int32)
+    top_ps = np.ones((n,), np.float32)
+    rngs = np.zeros((n, 2), np.uint32)
+    for i, sp in enumerate(sampling[:n]):
+        if sp is None:
+            continue
+        temperature, top_k, top_p, seed = sp
+        temps[i] = temperature
+        top_ks[i] = top_k
+        top_ps[i] = top_p
+        rngs[i] = key_data_from_seed(seed)
+    return rngs, temps, top_ks, top_ps

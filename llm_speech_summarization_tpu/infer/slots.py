@@ -314,21 +314,18 @@ class SlotDecoder:
         # per-request sampling params, padded to the wave (padded rows are
         # greedy: their scatters drop anyway). ONE admit program serves any
         # greedy/sampling mix — the params are traced inputs, not statics.
-        temps = np.zeros((n,), np.float32)
-        top_ks = np.zeros((n,), np.int32)
-        top_ps = np.ones((n,), np.float32)
-        rngs = np.zeros((n, 2), np.uint32)
-        if sampling is not None:
-            from .sampling import key_data_from_seed
+        from .sampling import pack_sampling_params
 
-            for i, sp in enumerate(sampling[:n_real]):
-                if sp is None:
-                    continue
-                temperature, top_k, top_p, seed = sp
-                temps[i] = temperature
-                top_ks[i] = top_k
-                top_ps[i] = top_p
-                rngs[i] = key_data_from_seed(seed)
+        packed = pack_sampling_params(
+            list(sampling[:n_real]) if sampling is not None else None, n
+        )
+        if packed is None:
+            rngs = np.zeros((n, 2), np.uint32)
+            temps = np.zeros((n,), np.float32)
+            top_ks = np.zeros((n,), np.int32)
+            top_ps = np.ones((n,), np.float32)
+        else:
+            rngs, temps, top_ks, top_ps = packed
         fn = self._admit_fn(n, T)
         self.state = fn(
             self.params,
@@ -506,14 +503,17 @@ class SlotDecoder:
                     kv_cache=tmp, cache_offset=jnp.int32(0),
                     last_logit_only=True,
                 )
-                # the first token is sampled at position T-1 (decode steps
-                # fold offsets T, T+1, ... — no key collision)
-                first = sample_rows(
-                    out.logits[:, -1], rngs,
-                    jnp.full((n,), T - 1, jnp.int32), temps, top_ks, top_ps,
-                )
+                # the first token draws at the row's UNPADDED position
+                # lens-1 (decode steps fold lens, lens+1, ... — no key
+                # collision, and the stream is independent of the wave's
+                # padded bucket: a seeded request replays identically in
+                # any batch composition)
                 lens = jnp.sum(mask.astype(jnp.int32), axis=1)
                 pads = (T - lens).astype(jnp.int32)
+                first = sample_rows(
+                    out.logits[:, -1], rngs,
+                    (lens - 1).astype(jnp.int32), temps, top_ks, top_ps,
+                )
                 tmpc = out.kv_cache
 
                 cache = state.cache
@@ -679,8 +679,8 @@ class SlotDecoder:
                     nxt = jax.lax.cond(
                         jnp.any((s.temps > 0.0) & ~s.done),
                         lambda: _sample_rows(
-                            logits, s.rng, s.offsets, s.temps, s.top_ks,
-                            s.top_ps,
+                            logits, s.rng, s.offsets - s.pad_lens,
+                            s.temps, s.top_ks, s.top_ps,
                         ),
                         lambda: jnp.argmax(logits, axis=-1).astype(jnp.int32),
                     )

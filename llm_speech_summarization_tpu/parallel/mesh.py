@@ -52,6 +52,12 @@ def distributed_init(
     env_coord = os.environ.get("LSS_COORDINATOR")
     if coordinator_address is None and env_coord:
         coordinator_address = env_coord
+        if "LSS_NUM_PROCESSES" not in os.environ or "LSS_PROCESS_ID" not in os.environ:
+            raise ValueError(
+                "LSS_COORDINATOR is set but LSS_NUM_PROCESSES / "
+                "LSS_PROCESS_ID are missing — the three variables form a "
+                "set (parallel/mesh.py::distributed_init)"
+            )
         num_processes = int(os.environ["LSS_NUM_PROCESSES"])
         process_id = int(os.environ["LSS_PROCESS_ID"])
 
@@ -87,10 +93,11 @@ def mesh_from_devices(
     ``data=-1`` infers the data-parallel size from the device count. The
     "seq" axis only appears when seq > 1 (ring attention, config
     ``train.mesh.seq``), keeping existing 2-axis specs valid. Device order
-    follows ``jax.devices()``, which sorts local-first per process — the
-    trailing mesh axes (seq/model, the chatty collectives) land on
-    intra-host ICI neighbors, while "data" (grad all-reduce once a step)
-    may cross DCN on multi-host.
+    follows ``jax.devices()`` — the SAME globally-ordered list on every
+    process (per-host blocks contiguous). The trailing mesh axes
+    (seq/model, the chatty collectives) stay intra-host ONLY while
+    model*seq divides the per-host device count — reorder with care, a
+    model axis spanning hosts puts tensor-parallel collectives on DCN.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -105,6 +112,15 @@ def mesh_from_devices(
         arr = np.asarray(devices).reshape(data, seq, model)
     else:
         names = tuple(axis_names) if axis_names is not None else ("data", "model")
+        if len(names) == 3:  # 3-name config (e.g. copied from a ring
+            # preset) with seq == 1: drop the unused axis name instead of
+            # letting the Mesh constructor fail on a 2-D array w/ 3 names
+            names = tuple(n for n in names if n != "seq")
+            if len(names) != 2:
+                raise ValueError(
+                    f"axis_names {axis_names} needs exactly 'data'/'model' "
+                    "(plus optional 'seq') for a seq=1 mesh"
+                )
         arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, names)
 

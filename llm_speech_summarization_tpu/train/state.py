@@ -76,5 +76,25 @@ def make_train_state(cfg: Config, enc_params, total_opt_steps: int) -> tuple[Tra
 
 def lr_at(cfg: Config, total_opt_steps: int, step: int) -> float:
     """Current learning rate (for logging parity, reference: trainer.py:391).
-    Evaluates the SAME schedule the optimizer runs."""
-    return float(make_schedule(cfg, total_opt_steps)(min(step, total_opt_steps)))
+
+    Closed-form HOST math replicating make_schedule exactly (pinned by
+    tests/test_trainer_burrs.py against the optax schedule): evaluating
+    the optax schedule here ran a handful of eager jnp ops + a host
+    transfer on the pinned remote backend EVERY log interval (~0.5-2 s a
+    call billed into step_time_s — CLAUDE.md's no-eager-device-code rule).
+    """
+    import math
+
+    opt_cfg = cfg.train.optimizer
+    t = min(step, total_opt_steps)
+    if opt_cfg.warmup_steps > 0:
+        warm = opt_cfg.warmup_steps
+        decay = max(total_opt_steps, warm + 1)
+        if t < warm:
+            return opt_cfg.lr * t / warm
+        # optax.warmup_cosine_decay: cosine from peak to 0 over
+        # [warmup_steps, decay_steps], clamped past the end
+        frac = min(max((t - warm) / max(decay - warm, 1), 0.0), 1.0)
+        return opt_cfg.lr * 0.5 * (1.0 + math.cos(math.pi * frac))
+    total = max(total_opt_steps, 1)
+    return opt_cfg.lr * max(1.0 - t / total, 0.0)

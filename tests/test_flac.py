@@ -138,7 +138,10 @@ def test_librispeech_dir_ingestion(tmp_path):
         np.testing.assert_allclose(
             e["audio"], waves[f"19-198-{i:04d}"] / 32768.0, atol=1e-7
         )
-    assert load_librispeech_dir(str(tmp_path / "empty")) is None or True
+    # no-audio tree → None (cli/preprocess falls back to HF-disk loading)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert load_librispeech_dir(str(empty)) is None
 
 
 def test_infer_cli_accepts_flac(tmp_path):

@@ -20,8 +20,11 @@ def test_lr_at_matches_optimizer_schedule_with_warmup():
     cfg = load_config(TINY_YAML)
     cfg.train.optimizer.warmup_steps = 10
     sched = make_schedule(cfg, total_opt_steps=100)
-    for step in (0, 3, 10, 50, 100, 150):
-        assert lr_at(cfg, 100, step) == float(sched(min(step, 100)))
+    for step in (0, 3, 10, 11, 50, 100, 150):
+        # lr_at is closed-form HOST math (no eager device ops per log
+        # interval); it matches the optax schedule to f32 rounding
+        got, want = lr_at(cfg, 100, step), float(sched(min(step, 100)))
+        assert abs(got - want) <= 1e-7 + 1e-5 * abs(want), (step, got, want)
     # warmup actually ramps: lr rises then falls
     assert lr_at(cfg, 100, 2) < lr_at(cfg, 100, 10)
     assert lr_at(cfg, 100, 90) < lr_at(cfg, 100, 10)
