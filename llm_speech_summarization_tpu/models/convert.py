@@ -43,7 +43,13 @@ def load_hf_state_dict(model_dir: str) -> StateDict:
 
         for f in sorted(bins):
             sd = torch.load(os.path.join(model_dir, f), map_location="cpu", weights_only=True)
-            out.update({k: v.float().numpy() for k, v in sd.items()})
+            # .float() ONLY for floating tensors (torch bf16 has no
+            # direct numpy view; f32 roundtrip is lossless) — integer/
+            # bool buffers must pass through with their dtype intact
+            out.update({
+                k: (v.float().numpy() if v.is_floating_point() else v.numpy())
+                for k, v in sd.items()
+            })
         return out
     raise FileNotFoundError(f"no .safetensors or .bin files in {model_dir}")
 
@@ -156,8 +162,13 @@ def convert_hubert_ctc(sd: StateDict, cfg: HubertConfig, dtype=np.float32) -> tu
 
 def convert_whisper_encoder(sd: StateDict, cfg: WhisperConfig, dtype=np.float32) -> dict:
     """HF WhisperModel (or encoder-only) state dict → init_whisper_params layout."""
-    # accept either "encoder.xxx" (WhisperModel.encoder) or bare keys
-    if not any(k.startswith("encoder.") for k in sd):
+    # accept "model.encoder.xxx" (WhisperForConditionalGeneration — the
+    # stock openai/whisper-* layout), "encoder.xxx" (WhisperModel.encoder),
+    # or bare keys
+    if any(k.startswith("model.encoder.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items()
+              if k.startswith("model.encoder.")}
+    elif not any(k.startswith("encoder.") for k in sd):
         sd = {f"encoder.{k}": v for k, v in sd.items()}
     L = cfg.num_layers
     e = "encoder.layers.{i}."
@@ -190,6 +201,16 @@ def convert_whisper_encoder(sd: StateDict, cfg: WhisperConfig, dtype=np.float32)
     return _cast(params, dtype)
 
 
+def _is_floating(dt: np.dtype) -> bool:
+    """True for numpy floats AND ml_dtypes extension floats (bfloat16,
+    float8_*): np.issubdtype reports kind 'V' for those, which silently
+    SKIPPED the requested cast for every bf16-stored safetensors checkpoint
+    (the standard Llama-3.2 layout)."""
+    if np.issubdtype(dt, np.floating):
+        return True
+    return "float" in getattr(dt, "name", "")
+
+
 def _cast(tree, dtype):
     import jax.numpy as jnp
 
@@ -197,7 +218,7 @@ def _cast(tree, dtype):
 
     return jax.tree_util.tree_map(
         lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
-        if np.issubdtype(np.asarray(x).dtype, np.floating)
+        if _is_floating(np.asarray(x).dtype)
         else jnp.asarray(x),
         tree,
     )

@@ -47,6 +47,14 @@ def make_attention_bias(
     """
     B, T = q_valid.shape
     S = kv_valid.shape[1]
+    # kv_idx re-bases the KEY axis to explicit sequence positions (e.g. a
+    # [cache | fresh-at-offset] layout); comparing those against the
+    # default SLOT-based q_idx silently mis-masks, so the combination
+    # requires an explicit q_offset
+    assert kv_idx is None or q_offset is not None, (
+        "kv_idx (position-based keys) needs q_offset (position-based "
+        "queries) — the slot-based default would compare slots to positions"
+    )
     bias = jnp.where(kv_valid[:, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
     if causal:
         q_pos = jnp.arange(T, dtype=jnp.int32)

@@ -79,7 +79,7 @@ def apply_rope(
 
     x: (B, T, H, Dh); positions: (B, T) or (T,) int32.
     Uses the HF rotate-half convention: out = x*cos + rotate_half(x)*sin,
-    computed in float32 and cast back to x.dtype.
+    computed in x.dtype (see apply_rope_cached: bf16 products match HF's bf16 rope exactly).
     """
     if positions.ndim == 1:
         positions = positions[None, :]
