@@ -108,7 +108,7 @@ def greedy_generate(
     cache_dtype=jnp.bfloat16,
     num_steps: Optional[jnp.ndarray] = None,
     sampling=None,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Generate up to ``max_new_tokens`` from a left-padded embeds batch.
 
     ``max_new_tokens`` is STATIC (it sizes the cache and output buffer and

@@ -570,12 +570,17 @@ class SlotDecoder:
                     kv_cache=tmp, cache_offset=jnp.int32(0),
                     last_logit_only=True,
                 )
-                first = sample_rows(
-                    out.logits[:, -1], rngs,
-                    jnp.full((n,), T - 1, jnp.int32), temps, top_ks, top_ps,
-                )
+                # the first token draws at the row's UNPADDED position
+                # lens-1, matching the dense admit path above: a seeded
+                # request replays identically in any bucket width, and the
+                # draw never aliases a later decode step's RNG counter
+                # (decode draws at offsets - pad_lens = lens, lens+1, ...)
                 lens = jnp.sum(mask.astype(jnp.int32), axis=1)
                 pads = (T - lens).astype(jnp.int32)
+                first = sample_rows(
+                    out.logits[:, -1], rngs,
+                    (lens - 1).astype(jnp.int32), temps, top_ks, top_ps,
+                )
                 tmpc = out.kv_cache  # k/v: (L, n, Hkv, T, Dh)
                 # buffers pad RIGHT up to a page multiple; the valid window
                 # [pad, T) is unchanged, the tail slots are just never read

@@ -162,6 +162,27 @@ def test_slot_sampling_mixed_batch(engine, paged):
         assert all(0 <= t < V for t in row)
 
 
+@pytest.mark.parametrize("paged", [False, True])
+def test_slot_sampling_bucket_width_invariant(engine, paged):
+    """A seeded request replays identically regardless of the prompt
+    bucket it lands in (the documented sampling contract): the first
+    token must draw at the row's UNPADDED position lens-1, not at the
+    padded bucket position T-1.  Regression test for the round-3 advisor
+    finding on _admit_fn_paged (infer/slots.py)."""
+    texts = ["tell me something"]
+    embeds, mask = engine.build_text_prompt_batch(texts)
+    sampling = [(1.7, 0, 1.0, 42)]
+    # the same request left-padded into a wider bucket — valid window
+    # identical, only the bucket width changes
+    extra = 9
+    embeds_w = jnp.pad(embeds[:1], ((0, 0), (extra, 0), (0, 0)))
+    mask_w = jnp.pad(mask[:1], ((0, 0), (extra, 0)))
+
+    a = _run(_make_decoder(engine, paged), embeds[:1], mask[:1], [12], sampling)
+    b = _run(_make_decoder(engine, paged), embeds_w, mask_w, [12], sampling)
+    assert a[0] == b[0]
+
+
 def test_slot_sampling_different_seeds_diverge(engine):
     """Same prompt, hot temperature, different seeds → different streams
     (12 draws at temperature 2; a collision across every position would
