@@ -47,22 +47,26 @@ def main(argv=None):
     import numpy as np
 
     from ..configs import load_config
-    from ..data.preprocess import preprocess_examples, save_preprocessed
+    from ..data.preprocess import iter_preprocess_examples, save_preprocessed
     from ..infer.engine import LLMSpeechTextInference
 
     config = load_config(args.config)
     engine = LLMSpeechTextInference(config)
 
+    # every input branch is a LAZY view (audio decoded/synthesized on
+    # access): the pipeline below streams rows straight to arrow shards,
+    # so no split's waveforms ever sit in host RAM at once
     if args.synthetic:
-        from ..data.datasets import SyntheticSpeechDataset
+        from ..data.datasets import LazyRawView, SyntheticSpeechDataset
 
         ds = SyntheticSpeechDataset(engine.tokenizer, num_samples=args.synthetic)
-        rows_ = [ds[i] for i in range(len(ds))]  # one synthesis per index
-        examples = [{"audio": r["audio"], "text": r["text"]} for r in rows_]
+        examples = LazyRawView(
+            len(ds), lambda i: {"audio": ds[i]["audio"], "text": ds[i]["text"]}
+        )
     else:
         if not args.input:
             parser.error("--input or --synthetic required")
-        from ..data.datasets import load_librispeech_dir
+        from ..data.datasets import LazyRawView, load_librispeech_dir
 
         examples = load_librispeech_dir(
             args.input, target_sr=config.audio.sampling_rate, limit=args.limit
@@ -72,12 +76,16 @@ def main(argv=None):
 
             raw = load_from_disk(args.input)
             n = len(raw) if args.limit is None else min(args.limit, len(raw))
-            examples = []
-            for i in range(n):
+
+            def _get(i, raw=raw):
                 row = raw[i]
                 audio = row["audio"]
-                wav = np.asarray(audio["array"] if isinstance(audio, dict) else audio, np.float32)
-                examples.append({"audio": wav, "text": row["text"]})
+                wav = np.asarray(
+                    audio["array"] if isinstance(audio, dict) else audio, np.float32
+                )
+                return {"audio": wav, "text": row["text"]}
+
+            examples = LazyRawView(n, _get)
 
     ctc_fn = None
     if args.ctc:
@@ -85,7 +93,7 @@ def main(argv=None):
 
         ctc_fn = load_ctc_fn(args.ctc, args.ctc_preset, args.ctc_vocab)
 
-    rows = preprocess_examples(
+    rows = iter_preprocess_examples(
         examples,
         engine,
         engine.tokenizer,
@@ -94,8 +102,10 @@ def main(argv=None):
         sampling_rate=config.audio.sampling_rate,
         response_batch_size=args.batch_size,
     )
-    save_preprocessed(rows, args.output)
-    print(f"wrote {len(rows)} examples to {args.output}")
+    n_written = save_preprocessed(
+        rows, args.output, sampling_rate=config.audio.sampling_rate
+    )
+    print(f"wrote {n_written} examples to {args.output}")
 
 
 if __name__ == "__main__":

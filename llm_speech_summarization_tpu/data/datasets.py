@@ -227,3 +227,25 @@ class _LazyAudioExamples:
     def __iter__(self):
         for i in range(len(self)):
             yield self[i]
+
+
+class LazyRawView:
+    """List-like {audio, text} adapter over any indexable source, fetching
+    ON ACCESS (same memory contract as _LazyAudioExamples): ``getter(i)``
+    returns the i-th {audio: float32 1-D, text: str} example. Used by
+    cli/preprocess.py to keep HF-disk and synthetic inputs lazy so
+    iter_preprocess_examples never holds more than one waveform."""
+
+    def __init__(self, n: int, getter):
+        self._n = int(n)
+        self._getter = getter
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i):
+        return self._getter(int(i))
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
