@@ -48,6 +48,24 @@ def response_cross_entropy(
     return jnp.sum(per_sample * has_any) / jnp.maximum(jnp.sum(has_any), 1.0)
 
 
+def response_nll_sum(
+    logits: jnp.ndarray, labels: jnp.ndarray, loss_mask: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked (sum_nll, token_count) over the response window.
+
+    Exact token-weighted aggregation for validation perplexity: the caller
+    accumulates both across batches and takes exp(Σnll / Σtokens), so every
+    supervised token weighs equally regardless of batch or response length.
+    This differs (slightly) from the reference's exp(mean per-SAMPLE NLL)
+    (reference: trainer.py:510-514), which weighs short responses' tokens
+    more; padded zero-response rows contribute zero tokens and drop out.
+    """
+    logp = _log_softmax(logits)
+    nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    mask = loss_mask.astype(jnp.float32)
+    return jnp.sum(nll * mask), jnp.sum(mask)
+
+
 def soft_cross_entropy(
     student_logits: jnp.ndarray,
     teacher_logits: jnp.ndarray,

@@ -43,11 +43,16 @@ def save_train_checkpoint(
     relying on the files."""
     global _ASYNC_CKPTR
     path = os.path.join(_ckpt_dir(base_dir), f"step_{step}")
+    # step/epoch stay HOST numpy scalars: a device jnp scalar is a
+    # single-device host-local jax.Array, which Orbax refuses to serialize
+    # under jax.process_count() > 1 (found by tests/test_multihost.py)
+    import numpy as np
+
     payload = {
         "enc_params": state.enc_params,
         "opt_state": state.opt_state,
-        "step": jax.numpy.asarray(step),
-        "epoch": jax.numpy.asarray(epoch),
+        "step": np.asarray(step, np.int32),
+        "epoch": np.asarray(epoch, np.int32),
     }
     if block:
         ckptr = ocp.StandardCheckpointer()
@@ -94,12 +99,14 @@ def restore_train_checkpoint(
     which conflicts with mesh-sharded leaves inside the next jitted train
     step ("incompatible devices for jitted computation" — found by
     tests/test_ckpt_mesh.py)."""
+    import numpy as np
+
     ckptr = ocp.StandardCheckpointer()
     target = {
         "enc_params": template.enc_params,
         "opt_state": template.opt_state,
-        "step": jax.numpy.zeros((), jax.numpy.int32),
-        "epoch": jax.numpy.zeros((), jax.numpy.int32),
+        "step": np.zeros((), np.int32),
+        "epoch": np.zeros((), np.int32),
     }
     restored = ckptr.restore(path, target)
     if mesh is not None:

@@ -35,6 +35,7 @@ from ..ops.losses import (
     feature_distillation_loss,
     fused_ntp_ld_losses,
     response_cross_entropy,
+    response_nll_sum,
 )
 from ..ops.splice import splice_sequences
 from ..data.batch import Batch
@@ -253,10 +254,16 @@ def make_eval_step(
     ring_axis: str = "seq",
 ):
     """Validation NLLs for audio- and text-prompted sequences
-    (reference: trainer.py:440-451): returns per-batch mean NLL pair.
-    ``ring_mesh``: long-audio configs validate sequence-parallel too —
-    without it the eval forward would run the full unsharded attention
-    per device and hit the very memory wall SP exists to avoid."""
+    (reference: trainer.py:440-451): returns per-batch
+    ``(audio_sum_nll, audio_tokens, text_sum_nll, text_tokens)`` so the
+    caller can aggregate an EXACT token-weighted perplexity across batches
+    (exp(Σnll/Σtokens)); the reference instead exponentiates a mean of
+    per-sample NLLs (reference: trainer.py:510-514), which weighs short
+    responses' tokens more — documented difference, see
+    ops/losses.py::response_nll_sum. ``ring_mesh``: long-audio configs
+    validate sequence-parallel too — without it the eval forward would run
+    the full unsharded attention per device and hit the very memory wall SP
+    exists to avoid."""
 
     def eval_fn(enc_params, llm_params, batch: Batch):
         compute_dtype = jnp.dtype(cfg.model.compute_dtype)
@@ -287,12 +294,12 @@ def make_eval_step(
             logit_window=W, ring_mesh=ring_mesh, ring_axis=ring_axis,
         )
         B = batch.wav.shape[0]
-        audio_nll = response_cross_entropy(
+        a_sum, a_tok = response_nll_sum(
             out.logits[:B], student.labels[:, -W:], student.loss_mask[:, -W:]
         )
-        text_nll = response_cross_entropy(
+        t_sum, t_tok = response_nll_sum(
             out.logits[B:], teacher.labels[:, -W:], teacher.loss_mask[:, -W:]
         )
-        return audio_nll, text_nll
+        return a_sum, a_tok, t_sum, t_tok
 
     return jax.jit(eval_fn)

@@ -387,16 +387,18 @@ class Trainer:
         """Eval NLL/perplexity + sample generations + checkpoint
         (reference: trainer.py:400-528)."""
         cfg = self.config
-        audio_nlls: List[float] = []
-        text_nlls: List[float] = []
-        weights: List[int] = []
+        # exact token-weighted aggregation: Σnll and Σtokens across every
+        # batch, ppl = exp(Σnll/Σtokens) — padded zero-response rows
+        # contribute zero tokens (see ops/losses.py::response_nll_sum for
+        # the documented difference vs the reference's per-sample mean)
+        audio_sum = audio_tok = text_sum = text_tok = 0.0
+        n_batches = 0
         val_bs = min(cfg.train.batch_size, 8)
         pc = jax.process_count()
         if pc > 1:
             # _batches requires pc | batch_size (per-process shards)
             val_bs = max(pc, (val_bs // pc) * pc)
         for batch in self._batches(self.val_ds, val_bs, False, 0):
-            n_real = batch.wav.shape[0]
             if self.mesh is not None:
                 # same placement contract as train(): pad non-divisible
                 # tails (zero-response rows drop out of the token-weighted
@@ -409,15 +411,22 @@ class Trainer:
                     batch = pad_batch_rows(batch, n_data)
                 batch = shard_batch(self.mesh, batch)
             eval_fn = self._get_eval_step(batch.wav.shape[1])
-            a_nll, t_nll = eval_fn(self.state.enc_params, self.llm_params, batch)
-            audio_nlls.append(float(a_nll))
-            text_nlls.append(float(t_nll))
-            weights.append(n_real)  # tail batch is smaller (pre-padding)
-            self.writer.log_validation(float(a_nll), self.step)
+            a_sum, a_tok, t_sum, t_tok = eval_fn(
+                self.state.enc_params, self.llm_params, batch
+            )
+            audio_sum += float(a_sum)
+            audio_tok += float(a_tok)
+            text_sum += float(t_sum)
+            text_tok += float(t_tok)
+            n_batches += 1
+            # per-batch token-mean NLL for the step-level log
+            self.writer.log_validation(
+                float(a_sum) / max(float(a_tok), 1.0), self.step
+            )
 
-        if audio_nlls:
-            audio_ppl = float(np.exp(np.average(audio_nlls, weights=weights)))
-            text_ppl = float(np.exp(np.average(text_nlls, weights=weights)))
+        if n_batches:
+            audio_ppl = float(np.exp(audio_sum / max(audio_tok, 1.0)))
+            text_ppl = float(np.exp(text_sum / max(text_tok, 1.0)))
             self.writer.log_validation_perplexity(audio_ppl, text_ppl, self.step)
             print(f"[val] step {self.step}: audio_ppl={audio_ppl:.3f} text_ppl={text_ppl:.3f}")
 
