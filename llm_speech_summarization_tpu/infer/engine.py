@@ -19,6 +19,7 @@ TPU-native beyond the reference:
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -282,6 +283,16 @@ class LLMSpeechTextInference:
             cache_dtype=self.cache_dtype,
             num_steps=jnp.int32(max_new_tokens),
             sampling=sampling,
+            # fused decode attention+write kernel (kernels/fused_decode.py):
+            # measured 12.5 vs 13.8 ms/step at B=128/S=448 int8 (PERF.md
+            # round 4). Single-chip only — the pallas_call has no GSPMD
+            # partitioning rule, so TP serving keeps the XLA formulation.
+            attn_impl=(
+                "fused"
+                if self.mesh is None
+                and os.environ.get("LSS_FUSED_DECODE", "1") != "0"
+                else "auto"
+            ),
         )
         tokens = np.asarray(tokens)
         lens = np.asarray(lens)

@@ -89,7 +89,7 @@ def _sample(
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "eos_id", "temperature", "top_k", "top_p",
-        "cache_dtype", "repetition_penalty",
+        "cache_dtype", "repetition_penalty", "attn_impl",
     ),
 )
 def greedy_generate(
@@ -108,6 +108,7 @@ def greedy_generate(
     cache_dtype=jnp.bfloat16,
     num_steps: Optional[jnp.ndarray] = None,
     sampling=None,
+    attn_impl: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Generate up to ``max_new_tokens`` from a left-padded embeds batch.
 
@@ -202,6 +203,7 @@ def greedy_generate(
             kv_cache=s.cache,
             cache_offset=offset,
             kv_pad_lens=pad_lens,
+            attn_impl=attn_impl,
         )
         rng, k = jax.random.split(s.rng)
         logits = out.logits[:, 0]

@@ -22,6 +22,7 @@ compiles once per prompt-length bucket.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -164,7 +165,15 @@ class SlotDecoder:
         self._attn_impl = (
             "xla"
             if mesh is not None and dict(mesh.shape).get("model", 1) > 1
-            else "auto"
+            # fused decode attention+write kernel for the single-chip slot
+            # decoder (kernels/fused_decode.py; T==1 dense-cache steps only
+            # — paged and spec-verify forwards fall through to their usual
+            # paths inside llama_forward). LSS_FUSED_DECODE=0 reverts.
+            else (
+                "fused"
+                if mesh is None and os.environ.get("LSS_FUSED_DECODE", "1") != "0"
+                else "auto"
+            )
         )
         self._admit_fns = {}
         self._chunk_fns = {}

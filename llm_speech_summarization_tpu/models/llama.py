@@ -320,6 +320,23 @@ def _block(
                 q, k_pool, v_pool, page_table, lengths, pad_lens, k, v,
                 k_scale=k_sc, v_scale=v_sc,
             )
+    elif attn_kind == "decode_fused":
+        # one Pallas program per layer: attention over the FULL (L, ...)
+        # value cache at this layer PLUS the quantized in-place write of
+        # the fresh token (kernels/fused_decode.py). cache_kv here is
+        # (k_full, v_full, k_scale_layer|None, v_scale_layer|None): value
+        # buffers ride the scan CARRY (aliased in place, zero copies),
+        # scale slabs ride scan xs and the fresh scales return for the
+        # caller's per-layer ys scatter; attn_args carries the layer index.
+        from ..kernels.fused_decode import fused_decode_attention_write
+
+        k_cache, v_cache, k_scale_l, v_scale_l = cache_kv
+        pad_lens, offsets, li = attn_args
+        res = fused_decode_attention_write(
+            q, k_cache, v_cache, k, v, pad_lens, offsets, li,
+            k_scale_layer=k_scale_l, v_scale_layer=v_scale_l,
+        )
+        attn, new_cache_kv = res[0], tuple(res[1:])
     elif attn_kind == "decode_pallas":
         from ..kernels.decode_attention import decode_attention
 
@@ -412,6 +429,8 @@ def _block(
         gate = jax.nn.silu(_mm(h, lp, "w_gate"))
         up = _mm(h, lp, "w_up")
     x = x + _mm(gate * up, lp, "w_down")
+    if attn_kind == "decode_fused":
+        return x, new_cache_kv  # cache already written in-place by the kernel
     return x, (k, v)
 
 
@@ -500,7 +519,9 @@ def llama_forward(
     # the 28 scanned blocks (cos/sin fusions were a real decode-loop term)
     rope_cos, rope_sin = rope_cos_sin(positions, inv_freq)
 
-    if attn_impl == "auto":
+    if attn_impl in ("auto", "fused"):
+        # "fused" only changes the DECODE step; prefill/training keep the
+        # auto flash/XLA choice
         use_pallas = jax.default_backend() == "tpu" and cfg.head_dim % 128 == 0
     else:
         use_pallas = attn_impl == "pallas"
@@ -558,7 +579,27 @@ def llama_forward(
             and not per_row_offset
             and jax.default_backend() == "tpu"
         )
-        if attn_impl == "pallas" and pallas_decode_ok:
+        fused_shape_ok = (
+            cfg.head_dim % 128 == 0 and kv_cache.max_len % 32 == 0
+        ) or jax.default_backend() != "tpu"  # non-TPU → oracle (tests)
+        if (
+            attn_impl == "fused"
+            and T == 1
+            and kv_pad_lens is not None
+            and fused_shape_ok
+        ):
+            # fused attention + in-place quantized cache write: one Pallas
+            # program per layer absorbs the two op families the decode-gap
+            # attribution charged for the roofline gap (PERF.md); the cache
+            # rides the scan CARRY and is aliased in place. Falls back to
+            # the XLA oracle on non-TPU backends / unaligned shapes inside
+            # the kernel wrapper.
+            attn_kind = "decode_fused"
+            attn_args = (
+                kv_pad_lens.astype(jnp.int32),
+                jnp.broadcast_to(cache_offset, (B,)).astype(jnp.int32),
+            )
+        elif attn_impl == "pallas" and pallas_decode_ok:
             attn_kind = "decode_pallas"
             attn_args = (kv_pad_lens.astype(jnp.int32), cache_offset)
         elif kv_pad_lens is not None:
@@ -624,7 +665,60 @@ def llama_forward(
             return out, hs
         return out, (hs, kv_new)
 
-    if kv_cache is None:
+    if attn_kind == "decode_fused":
+        assert not return_hidden, "fused decode path is generation-only"
+        quantized = kv_cache.quantized
+        offsets_arr = attn_args[1]  # (B,)
+
+        def scan_body_fused(carry, xs_l):
+            h, kc, vc, li = carry
+            if quantized:
+                lp, ksl, vsl = xs_l
+            else:
+                lp, ksl, vsl = xs_l, None, None
+            out, new_caches = block(
+                cfg, lp, h, rope_cos, rope_sin, attn_args + (li,),
+                (kc, vc, ksl, vsl),
+            )
+            if quantized:
+                kc, vc, ksn, vsn = new_caches
+                # scatter the fresh token's scales into this layer's slab
+                # (values were written in place by the kernel; the scale
+                # slabs' lane dim is S, which Mosaic cannot DMA-slice at
+                # non-128-multiple S — so they ride xs/ys, ~1.8 MB/layer).
+                # Dense one-hot select, NOT a vmap'd dynamic-update-slice:
+                # XLA lowers the latter to a scatter, which measured ~13 ms
+                # across the 28-layer scan; the select is a fused
+                # elementwise pass over the slab.
+                S_ = ksl.shape[-1]
+                hit = (
+                    jnp.arange(S_, dtype=jnp.int32)[None, None, :]
+                    == offsets_arr[:, None, None]
+                )  # (B, 1, S)
+
+                def upd(slab, val):
+                    return jnp.where(hit, val[:, :, None].astype(slab.dtype), slab)
+
+                ys = (upd(ksl, ksn), upd(vsl, vsn))
+            else:
+                kc, vc = new_caches
+                ys = jnp.zeros((0,), h.dtype)
+            return (out, kc, vc, li + 1), ys
+
+        xs = (
+            (params["layers"], kv_cache.k_scale, kv_cache.v_scale)
+            if quantized
+            else params["layers"]
+        )
+        (x, kc, vc, _), ys = jax.lax.scan(
+            scan_body_fused,
+            (x, kv_cache.k, kv_cache.v, jnp.int32(0)),
+            xs,
+            unroll=scan_unroll,
+        )
+        hidden_stack = None
+        new_kv = KVCache(kc, vc, ys[0], ys[1]) if quantized else KVCache(kc, vc)
+    elif kv_cache is None:
         x, hidden_stack = jax.lax.scan(scan_body, x, params["layers"], unroll=scan_unroll)
         new_kv = None
     else:

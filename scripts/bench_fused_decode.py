@@ -1,0 +1,106 @@
+"""Measure the fused decode attention+write kernel against the XLA decode
+path at the PERF.md decode point: B=128, S=448, OFF=384, 3B geometry,
+int8 weights + int8 KV (and a bf16-cache variant).
+
+VERDICT r3 #2's bar: <= 12 ms/step (vs 14.0 XLA) at the int8 point, or a
+trace-backed negative result. Run: python scripts/bench_fused_decode.py
+(real TPU; bounded — each timed loop is 32 steps).
+"""
+
+import functools
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from llm_speech_summarization_tpu.utils.compile_cache import (
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
+from llm_speech_summarization_tpu.models.llama import (
+    fuse_llama_params,
+    init_kv_cache,
+    init_llama_params,
+    llama_forward,
+    llama_preset,
+    quantize_llama_params,
+)
+
+STEPS = 32
+B, S, OFF = 128, 448, 384
+CFG = llama_preset("llama3_3b")
+
+
+def timed(fn, params, cache, tok):
+    """Times fn threading the DONATED cache through repeats; returns
+    (best ms/step, final tokens)."""
+    out_tok, cache = fn(params, cache, tok)
+    np.asarray(out_tok)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out_tok, cache = fn(params, cache, tok)
+        np.asarray(out_tok)
+        best = min(best, (time.perf_counter() - t0) / STEPS * 1000.0)
+    return best, out_tok
+
+
+def make_loop(attn_impl: str):
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def run(params, cache, tok):
+        def body(i, carry):
+            cache, tok = carry
+            out = llama_forward(
+                params, CFG, input_ids=tok,
+                attn_mask=jnp.ones((B, 1), bool),
+                positions=jnp.full((B, 1), OFF + i, jnp.int32),
+                kv_cache=cache, cache_offset=jnp.int32(OFF) + i,
+                kv_pad_lens=jnp.zeros((B,), jnp.int32),
+                attn_impl=attn_impl,
+            )
+            return out.kv_cache, jnp.argmax(
+                out.logits[:, 0], -1
+            ).astype(jnp.int32)[:, None]
+
+        cache, tok = jax.lax.fori_loop(0, STEPS, body, (cache, tok))
+        return tok, cache
+
+    return run
+
+
+def main():
+    params = init_llama_params(jax.random.PRNGKey(0), CFG, dtype=jnp.bfloat16)
+    params = quantize_llama_params(fuse_llama_params(params))
+    tok = jnp.ones((B, 1), jnp.int32)
+
+    toks = {}
+    for cache_dt, label in ((jnp.int8, "int8"), (jnp.bfloat16, "bf16")):
+        for impl in ("auto", "fused"):
+            print(f"[{time.strftime('%H:%M:%S')}] starting {label}/{impl}",
+                  flush=True)
+            cache = init_kv_cache(CFG, B, S, dtype=cache_dt)
+            try:
+                ms, out_tok = timed(make_loop(impl), params, cache, tok)
+                toks[(label, impl)] = np.asarray(out_tok)
+                print(f"{label} cache, attn_impl={impl:5s}: {ms:6.2f} ms/step",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"{label} cache, attn_impl={impl:5s}: FAILED "
+                      f"{type(e).__name__}: {str(e).splitlines()[0][:200]}",
+                      flush=True)
+
+    for label in ("int8", "bf16"):
+        a, b = toks.get((label, "auto")), toks.get((label, "fused"))
+        if a is not None and b is not None:
+            print(f"greedy final-token parity ({label}, after {STEPS} steps): "
+                  f"{bool((a == b).all())}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

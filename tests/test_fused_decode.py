@@ -1,0 +1,183 @@
+"""Fused decode attention+write kernel: interpret-mode parity vs the XLA
+oracle, oracle parity vs the in-tree decode path, and write-content
+bit-equality with models/llama.py::_quantize_kv."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_speech_summarization_tpu.kernels.fused_decode import (
+    fused_decode_attention_write,
+    fused_reference,
+)
+from llm_speech_summarization_tpu.models.llama import _quantize_kv
+
+
+def _case(seed=0, L=2, B=4, Hq=6, Hkv=2, S=64, Dh=128, quantized=True,
+          uniform=False):
+    rng = np.random.RandomState(seed)
+    q = rng.randn(B, 1, Hq, Dh).astype(np.float32)
+    k_new = rng.randn(B, 1, Hkv, Dh).astype(np.float32)
+    v_new = rng.randn(B, 1, Hkv, Dh).astype(np.float32)
+    pads = rng.randint(0, 5, size=(B,)).astype(np.int32)
+    if uniform:
+        offsets = np.full((B,), S - 9, np.int32)
+    else:
+        # spread across different 32-windows, incl. a window edge
+        offsets = np.array([31, 32, S - 1, 17] * ((B + 3) // 4))[:B].astype(np.int32)
+    if quantized:
+        kc = rng.randint(-127, 128, size=(L, B, Hkv, S, Dh)).astype(np.int8)
+        vc = rng.randint(-127, 128, size=(L, B, Hkv, S, Dh)).astype(np.int8)
+        ks = (0.02 + 0.1 * rng.rand(L, B, Hkv, S)).astype(jnp.bfloat16)
+        vs = (0.02 + 0.1 * rng.rand(L, B, Hkv, S)).astype(jnp.bfloat16)
+    else:
+        kc = rng.randn(L, B, Hkv, S, Dh).astype(np.float32)
+        vc = rng.randn(L, B, Hkv, S, Dh).astype(np.float32)
+        ks = vs = None
+    to = lambda a: None if a is None else jnp.asarray(a)  # noqa: E731
+    return tuple(map(to, (q, kc, vc, k_new, v_new, pads, offsets, ks, vs)))
+
+
+def _call(fn, case, layer, interpret=None):
+    q, kc, vc, kn, vn, pads, offs, ks, vs = case
+    li = jnp.int32(layer)
+    kwargs = dict(
+        k_scale_layer=None if ks is None else ks[layer],
+        v_scale_layer=None if vs is None else vs[layer],
+    )
+    if interpret is not None:
+        kwargs["interpret"] = interpret
+    return fn(q, kc, vc, kn, vn, pads, offs, li, **kwargs)
+
+
+@pytest.mark.parametrize("quantized", [True, False])
+@pytest.mark.parametrize("layer", [0, 1])
+def test_kernel_matches_oracle(quantized, layer):
+    case = _case(quantized=quantized)
+    ref = _call(fused_reference, case, layer)
+    got = _call(fused_decode_attention_write, case, layer, interpret=True)
+    assert len(got) == len(ref)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-3, atol=1e-4
+    )
+    for g, r, name in zip(got[1:], ref[1:], ("k", "v", "ks_new", "vs_new")):
+        np.testing.assert_array_equal(
+            np.asarray(g).astype(np.float32), np.asarray(r).astype(np.float32),
+            err_msg=f"buffer {name} (layer {layer})",
+        )
+
+
+def test_kernel_uniform_offsets():
+    case = _case(quantized=True, uniform=True)
+    ref = _call(fused_reference, case, 0)
+    got = _call(fused_decode_attention_write, case, 0, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-3, atol=1e-4
+    )
+    for g, r in zip(got[1:], ref[1:]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_oracle_write_matches_quantize_kv():
+    """The oracle's value write + returned scales == _quantize_kv + DUS —
+    the invariant that keeps fused-decode caches bit-compatible with the
+    decode_xla_q path's."""
+    case = _case(quantized=True)
+    q, kc, vc, kn, vn, pads, offs, ks, vs = case
+    _, kc2, _, ksn, _ = _call(fused_reference, case, 1)
+    kq, ks_exp = _quantize_kv(np.asarray(kn, np.float32).reshape(4, 2, 1, 128))
+    kc_exp = np.asarray(kc).copy()
+    for b, off in enumerate(np.asarray(offs)):
+        kc_exp[1, b, :, off, :] = np.asarray(kq)[b, :, 0, :]
+    np.testing.assert_array_equal(np.asarray(kc2), kc_exp)
+    np.testing.assert_array_equal(
+        np.asarray(ksn).astype(np.float32),
+        np.asarray(ks_exp)[:, :, 0].astype(np.float32),
+    )
+
+
+def test_oracle_attention_matches_decode_xla_q():
+    """Oracle attention == llama_forward's decode_xla_q formulation on the
+    same inputs (single layer, fresh token included)."""
+    from llm_speech_summarization_tpu.models.llama import dequantize_kv
+
+    case = _case(quantized=True, seed=3)
+    q, kc, vc, kn, vn, pads, offs, ks, vs = case
+    out = _call(fused_reference, case, 0)[0]
+
+    # dense masked attention over the dequantized cache + fresh token
+    B, _, Hq, Dh = q.shape
+    Hkv, S = kc.shape[2], kc.shape[3]
+    kd = dequantize_kv(kc[0], ks[0], jnp.float32)  # (B, Hkv, S, Dh)
+    vd = dequantize_kv(vc[0], vs[0], jnp.float32)
+    group = Hq // Hkv
+    qg = jnp.asarray(q).reshape(B, 1, Hkv, group, Dh)
+    s_c = jnp.einsum("bthgd,bhsd->bthgs", qg, kd) * (Dh ** -0.5)
+    slot = jnp.arange(S)
+    valid = (slot[None, :] >= pads[:, None]) & (slot[None, :] < offs[:, None])
+    s_c = jnp.where(valid[:, None, None, None, :], s_c, -1e30)
+    s_f = jnp.einsum("bthgd,bshd->bthgs", qg, jnp.asarray(kn)) * (Dh ** -0.5)
+    m = jnp.maximum(s_c.max(-1, keepdims=True), s_f.max(-1, keepdims=True))
+    p_c, p_f = jnp.exp(s_c - m), jnp.exp(s_f - m)
+    den = p_c.sum(-1, keepdims=True) + p_f.sum(-1, keepdims=True)
+    pv = jnp.einsum("bthgs,bhsd->bthgd", p_c, vd) + jnp.einsum(
+        "bthgs,bshd->bthgd", p_f, jnp.asarray(vn)
+    )
+    exp = (pv / den).reshape(B, 1, Hq, Dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("cache_dtype", ["int8", "float32"])
+def test_llama_forward_fused_matches_default(cache_dtype):
+    """attn_impl='fused' through llama_forward == the default decode path:
+    identical logits, identical cache contents, identical greedy tokens
+    over several steps (CPU → the kernel wrapper's oracle fallback, which
+    is what non-TPU backends run)."""
+    from llm_speech_summarization_tpu.models.llama import (
+        init_kv_cache, init_llama_params, llama_forward, llama_preset,
+    )
+
+    cfg = llama_preset("tiny")
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    B, L = 3, 12
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, cfg.vocab_size, size=(B, L)))
+    mask = jnp.asarray(
+        np.array([[0] * 3 + [1] * 9, [1] * 12, [0] * 1 + [1] * 11], bool)
+    )
+    S = L + 6
+    cache = init_kv_cache(cfg, B, S, dtype=jnp.dtype(cache_dtype))
+    out = llama_forward(
+        params, cfg, input_ids=ids, attn_mask=mask,
+        kv_cache=cache, cache_offset=jnp.int32(0), last_logit_only=True,
+    )
+    pad = (L - jnp.sum(mask.astype(jnp.int32), 1)).astype(jnp.int32)
+    tok = jnp.argmax(out.logits[:, -1], -1)[:, None]
+    c_x = c_f = out.kv_cache
+    tx = tf = tok
+    for step in range(4):
+        off = L + step
+        pos = (jnp.sum(mask.astype(jnp.int32), 1) + step)[:, None]
+        ox = llama_forward(
+            params, cfg, input_ids=tx, attn_mask=jnp.ones((B, 1), bool),
+            positions=pos, kv_cache=c_x, cache_offset=off, kv_pad_lens=pad,
+        )
+        of = llama_forward(
+            params, cfg, input_ids=tf, attn_mask=jnp.ones((B, 1), bool),
+            positions=pos, kv_cache=c_f, cache_offset=off, kv_pad_lens=pad,
+            attn_impl="fused",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ox.logits), np.asarray(of.logits), rtol=2e-4, atol=2e-4
+        )
+        for a, b in zip(ox.kv_cache, of.kv_cache):
+            if a is not None:
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float32), np.asarray(b, np.float32),
+                    rtol=1e-5, atol=1e-5,
+                )
+        tx = jnp.argmax(ox.logits[:, 0], -1)[:, None]
+        tf = jnp.argmax(of.logits[:, 0], -1)[:, None]
+        assert (np.asarray(tx) == np.asarray(tf)).all()
+        c_x, c_f = ox.kv_cache, of.kv_cache
