@@ -343,6 +343,49 @@ def test_request_level_pipelined_waves():
         be.shutdown()
 
 
+def test_request_level_warmup_walks_batch_ladder():
+    """BatchingEngine.warmup must pre-compile EVERY power-of-two wave
+    size up to max_batch (waves pad to power-of-two rows, each size is
+    its own XLA program pair) — and the SummarizationServer warmup
+    binding must resolve to it, not the silent no-op fallback that let
+    request-level bursts meet 20-40 s compiles mid-wave (round 4)."""
+    from llm_speech_summarization_tpu.serve.server import BatchingEngine
+
+    cfg = load_config(TINY_YAML)
+    engine = LLMSpeechTextInference(cfg)
+    be = BatchingEngine(engine, max_batch=4, max_wait_ms=10)
+    try:
+        built, generated = [], []
+        orig_build = engine.build_audio_prompt_batch
+        orig_gen = engine._generate_from_embeds
+
+        def spy_build(audios, *a, **k):
+            built.append(len(audios))
+            return orig_build(audios, *a, **k)
+
+        def spy_gen(embeds, mask, budget, *a, **k):
+            generated.append((int(embeds.shape[0]), budget))
+            return orig_gen(embeds, mask, budget, *a, **k)
+
+        engine.build_audio_prompt_batch = spy_build
+        engine._generate_from_embeds = spy_gen
+        be.warmup(audio_seconds=(0.5,))
+        assert built == [1, 2, 4]
+        assert [g[0] for g in generated] == [1, 2, 4]
+        assert all(g[1] == engine.decode_bucket for g in generated)
+    finally:
+        engine.build_audio_prompt_batch = orig_build
+        engine._generate_from_embeds = orig_gen
+        be.shutdown()
+
+    srv = SummarizationServer(engine, host="127.0.0.1", port=0,
+                              continuous=False)
+    try:
+        assert srv.warmup.__func__ is BatchingEngine.warmup
+    finally:
+        srv.batcher.shutdown()
+
+
 def test_graceful_drain():
     """drain(): /healthz flips to 503 'draining', new POSTs get 503, an
     in-flight request still completes, and the server shuts down idle."""
