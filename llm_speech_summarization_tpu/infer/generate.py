@@ -198,7 +198,10 @@ def greedy_generate(
             params,
             cfg,
             input_ids=s.last_token,
-            attn_mask=jnp.ones((B, 1), bool),
+            # None (not an explicit all-ones mask): the fresh decode token is
+            # always real, and attn_mask=None is what licenses the fused
+            # decode kernel (models/llama.py fresh_mask_implicit)
+            attn_mask=None,
             positions=positions,
             kv_cache=s.cache,
             cache_offset=offset,

@@ -677,7 +677,9 @@ class SlotDecoder:
                         out = llama_forward(
                             params, cfg, attn_impl=attn_impl,
                             input_ids=s.last_token[:, None],
-                            attn_mask=jnp.ones((N, 1), bool),
+                            # None licenses the fused decode kernel (the
+                            # fresh token is always real on a decode step)
+                            attn_mask=None,
                             positions=positions,
                             kv_cache=s.cache,
                             cache_offset=s.offsets,  # per-row depths

@@ -273,7 +273,13 @@ def _fused_kernel(
         descs = []
         for r in range(bs):
             off_t = scal_ref[B + t * bs + r]
-            w0_t = pl.multiple_of((off_t // WINDOW) * WINDOW, WINDOW)
+            # clamp keeps the window in-bounds if a caller ever passes
+            # offsets == S (full cache; contract says offsets < S — the
+            # fresh token is then silently dropped rather than an
+            # out-of-bounds DMA with unspecified Mosaic behavior)
+            w0_t = pl.multiple_of(
+                jnp.minimum((off_t // WINDOW) * WINDOW, S - WINDOW), WINDOW
+            )
             b_t = t * bs + r
             for j, (st, dst) in enumerate(((kw_st, ko_hbm), (vw_st, vo_hbm))):
                 descs.append(
@@ -295,7 +301,9 @@ def _fused_kernel(
     win_iota = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW, 1), 1)
     for r in range(bs):
         off = scal_ref[B + i * bs + r]
-        w0 = pl.multiple_of((off // WINDOW) * WINDOW, WINDOW)
+        w0 = pl.multiple_of(
+            jnp.minimum((off // WINDOW) * WINDOW, S - WINDOW), WINDOW
+        )
         sel = win_iota == (off - w0)  # (1, WINDOW, 1)
         old_k = k_buf[slot, r, :, pl.ds(w0, WINDOW), :]  # (Hkv, WINDOW, Dh)
         old_v = v_buf[slot, r, :, pl.ds(w0, WINDOW), :]
@@ -340,8 +348,14 @@ def fused_decode_attention_write(
     buffers are aliased: callers must treat them as consumed (the decode
     scan threads them as carry). Scale slabs are read-only here; the
     fresh scales return as (B, Hkv) bf16 for the caller's per-layer
-    scatter. Returns (out (B, 1, Hq, Dh), k_cache, v_cache[, ks_new,
-    vs_new])."""
+    scatter. Contract: ``offsets`` must be < S (a decode step always has a
+    free slot to write) — the kernel clamps its write window in-bounds at
+    offsets == S (fresh token dropped) where the XLA oracle's
+    dynamic_update_slice would clamp to slot S-1, so kernel and fallback
+    diverge past the contract. Also assumes every fresh token is REAL: the
+    fused path has no fresh-token attn_mask (models/llama.py only selects
+    it when the caller passed attn_mask=None). Returns
+    (out (B, 1, Hq, Dh), k_cache, v_cache[, ks_new, vs_new])."""
     B, T, Hq, Dh = q.shape
     L, _, Hkv, S, _ = k_cache.shape
     assert T == 1 and Hq % Hkv == 0

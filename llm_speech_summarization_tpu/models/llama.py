@@ -506,6 +506,11 @@ def llama_forward(
     x = inputs_embeds
     B, T, D = x.shape
 
+    # the fused decode kernel has no fresh-token mask: it may only be
+    # selected when the caller passed attn_mask=None (every fresh token
+    # REAL — the T==1 decode-step contract). An explicit mask, even one
+    # that happens to be all ones, routes to decode_xla_q, which applies it.
+    fresh_mask_implicit = attn_mask is None
     if attn_mask is None:
         attn_mask = jnp.ones((B, T), bool)
     if positions is None:
@@ -587,6 +592,7 @@ def llama_forward(
             and T == 1
             and kv_pad_lens is not None
             and fused_shape_ok
+            and fresh_mask_implicit
         ):
             # fused attention + in-place quantized cache write: one Pallas
             # program per layer absorbs the two op families the decode-gap

@@ -115,29 +115,34 @@ class BatchingEngine:
         """True when no request is queued or mid-generate (drain probe)."""
         return self._inflight == 0 and self._queue.empty()
 
-    def warmup(self, audio_seconds=(10.0,), budgets=None,
-               timeout: float = 600.0) -> None:
+    def warmup(self, audio_seconds=(10.0,), budgets=None) -> None:
         """Compile every program shape live traffic can hit BEFORE serving
         (JetStream-style; the continuous scheduler has its own).
 
-        Waves pad to power-of-two rows, so each B in the ladder up to
-        ``max_batch`` is its own XLA prompt-build + prefill/decode program
-        pair. Arrival timing decides wave sizes under burst — a single
-        full dummy wave only covers the sizes that race happened to
-        produce, and every uncovered size pays a 20-40 s compile
-        mid-traffic (measured: a 64-req burst at 2.6-4.9 req/s while
-        compiling vs 29-31 warm). Decode budgets all round up to the
-        engine's decode bucket, so one budget per B covers every request
-        asking <= decode_bucket tokens; pass ``budgets`` to pre-walk more
-        of the ladder (e.g. the server's max_new_tokens cap). Greedy
-        programs only — per-request sampling params are traced, so the
-        first sampling request adds one more compile per B.
+        Waves pad to power-of-two rows (engine._pad_batch), so the ladder
+        walks each power of two up to ``_pad_batch(max_batch)`` — a
+        non-power-of-two ``max_batch`` (e.g. 24) still produces full waves
+        padded to the NEXT power (32), and that shape must be warm too.
+        Arrival timing decides wave sizes under burst — a single full
+        dummy wave only covers the sizes that race happened to produce,
+        and every uncovered size pays a 20-40 s compile mid-traffic
+        (measured: a 64-req burst at 2.6-4.9 req/s while compiling vs
+        29-31 warm). Decode budgets all round up to the engine's decode
+        bucket, so one budget per B covers every request asking
+        <= decode_bucket tokens; pass ``budgets`` to pre-walk more of the
+        ladder (e.g. the server's max_new_tokens cap). Coverage gaps, by
+        design: greedy audio-only prompts — per-request sampling params
+        are traced (first sampling request adds one compile per B), and
+        text-kind / additional_text_prompt waves run separate prompt-build
+        programs that compile on first live occurrence.
         """
         sr = self.engine.config.audio.sampling_rate
         if budgets is None:
             budgets = (self.engine.decode_bucket,)
+        from ..infer.engine import _pad_batch
+
         ladder, b = [], 1
-        while b <= self.max_batch:
+        while b <= _pad_batch(self.max_batch):
             ladder.append(b)
             b *= 2
         for secs in audio_seconds:
