@@ -32,7 +32,8 @@ _ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
 
 
 def save_train_checkpoint(
-    base_dir: str, step: int, epoch: int, state: Any, block: bool = True
+    base_dir: str, step: int, epoch: int, state: Any, block: bool = True,
+    epoch_step: int = 0,
 ) -> str:
     """``block=False`` schedules the save on Orbax's async machinery and
     returns once the arrays are snapshotted — training overlaps the
@@ -53,6 +54,13 @@ def save_train_checkpoint(
         "opt_state": state.opt_state,
         "step": np.asarray(step, np.int32),
         "epoch": np.asarray(epoch, np.int32),
+        # batches already consumed inside `epoch`: resume fast-forwards the
+        # (deterministically seeded) epoch iterator past them, so a resumed
+        # run continues the EXACT batch sequence of an unbroken one
+        # (tests/test_multihost.py asserts bit-identical continuation).
+        # The reference replays the interrupted epoch from its start
+        # (reference: trainer.py:113-132 restores only step/epoch).
+        "epoch_step": np.asarray(epoch_step, np.int32),
     }
     if block:
         ckptr = ocp.StandardCheckpointer()
@@ -92,13 +100,16 @@ def restore_train_checkpoint(
     """Restore (state-like payload, step, epoch); `template` provides the
     pytree structure/shapes (an abstract or concrete state).
 
-    With ``mesh``, every restored leaf is re-placed for mesh execution:
-    leaves whose template carries a NamedSharding (e.g. ZeRO-1 Adam moments
-    over "data") keep it; everything else is replicated over the mesh.
-    Without this, Orbax hands back arrays COMMITTED to a single device,
-    which conflicts with mesh-sharded leaves inside the next jitted train
-    step ("incompatible devices for jitted computation" — found by
-    tests/test_ckpt_mesh.py)."""
+    With ``mesh``, every leaf restores DIRECTLY into its mesh placement:
+    the restore target is abstract (ShapeDtypeStruct + sharding) — leaves
+    whose template carries a NamedSharding (e.g. ZeRO-1 Adam moments over
+    "data") keep it; everything else restores replicated. Orbax then hands
+    back GLOBAL arrays with each process reading its own shard from disk —
+    this is what makes multi-process restore work at all (a host-local
+    restore followed by device_put needs a cross-host transfer the CPU
+    backend refuses — found by tests/test_multihost.py), and it also fixes
+    the single-process mesh conflict ("incompatible devices for jitted
+    computation" — tests/test_ckpt_mesh.py)."""
     import numpy as np
 
     ckptr = ocp.StandardCheckpointer()
@@ -107,22 +118,31 @@ def restore_train_checkpoint(
         "opt_state": template.opt_state,
         "step": np.zeros((), np.int32),
         "epoch": np.zeros((), np.int32),
+        "epoch_step": np.zeros((), np.int32),
     }
-    restored = ckptr.restore(path, target)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
         rep = NamedSharding(mesh, PartitionSpec())
 
-        def _place(t, r):
-            if hasattr(t, "sharding") and isinstance(t.sharding, NamedSharding):
-                return jax.device_put(r, t.sharding)
-            return jax.device_put(r, rep)
+        def _abstract(t):
+            sh = (
+                t.sharding
+                if hasattr(t, "sharding") and isinstance(t.sharding, NamedSharding)
+                else rep
+            )
+            return jax.ShapeDtypeStruct(t.shape, t.dtype, sharding=sh)
 
         for key in ("enc_params", "opt_state"):
-            restored[key] = jax.tree_util.tree_map(
-                _place, getattr(template, key), restored[key]
-            )
+            target[key] = jax.tree_util.tree_map(_abstract, target[key])
+    try:
+        restored = ckptr.restore(path, target)
+    except Exception:
+        # legacy checkpoint without epoch_step: resume replays the
+        # interrupted epoch from its start (the old behavior)
+        target.pop("epoch_step")
+        restored = ckptr.restore(path, target)
+        restored["epoch_step"] = np.zeros((), np.int32)
     return restored, int(restored["step"]), int(restored["epoch"])
 
 

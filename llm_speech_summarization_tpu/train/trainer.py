@@ -141,6 +141,12 @@ class Trainer:
 
         self.step = 0
         self.start_epoch = 0
+        # batches consumed in the current epoch — saved in checkpoints so a
+        # resumed run fast-forwards the deterministic epoch iterator and
+        # continues the EXACT batch sequence (bit-identical continuation,
+        # tests/test_multihost.py)
+        self._epoch_step = 0
+        self._resume_epoch_step = 0
         if checkpoint_path:
             self.load_checkpoint(checkpoint_path)
         else:
@@ -162,7 +168,11 @@ class Trainer:
         )
         self.step = step
         self.start_epoch = epoch
-        print(f"Resumed from {path} at step {step}, epoch {epoch}")
+        self._resume_epoch_step = int(restored.get("epoch_step", 0))
+        print(
+            f"Resumed from {path} at step {step}, epoch {epoch}"
+            f" (+{self._resume_epoch_step} batches into it)"
+        )
 
     def _seq_budget(self, audio_bucket: int) -> int:
         """Static spliced-sequence length for an audio bucket via shape eval."""
@@ -221,7 +231,9 @@ class Trainer:
             )
         return self._eval_steps[audio_bucket]
 
-    def _batches(self, dataset, batch_size: int, shuffle: bool, seed: int) -> Iterator[Batch]:
+    def _batches(
+        self, dataset, batch_size: int, shuffle: bool, seed: int, skip: int = 0
+    ) -> Iterator[Batch]:
         """Collated batches with background prefetch.
 
         The reference's only concurrency is its DataLoader worker pool
@@ -267,6 +279,10 @@ class Trainer:
         # tail yields one smaller batch — at most one extra compile per
         # (dataset, batch_size) since the tail size is fixed across epochs
         starts = list(range(0, len(idx), batch_size))
+        # resume fast-forward: the shuffle is seeded per epoch, so dropping
+        # the first `skip` starts replays the exact remaining batch sequence
+        # without collating the already-consumed ones
+        starts = starts[skip:]
         workers = max(self.config.train.num_workers, 1)
         if workers <= 1 or len(starts) <= 1:
             for i in starts:
@@ -324,7 +340,14 @@ class Trainer:
             for epoch in range(self.start_epoch, tcfg.epochs):
                 print(f"Epoch {epoch}")
                 t0 = time.time()
-                for batch in self._batches(self.train_ds, tcfg.batch_size, True, cfg.seed_everything + epoch):
+                # resumed epoch: skip the batches the checkpoint already
+                # consumed (exact continuation); fresh epochs start at 0
+                skip = self._resume_epoch_step if epoch == self.start_epoch else 0
+                self._epoch_step = skip
+                for batch in self._batches(
+                    self.train_ds, tcfg.batch_size, True,
+                    cfg.seed_everything + epoch, skip=skip,
+                ):
                     if self.mesh is not None:
                         from ..parallel.sharding import pad_batch_rows, shard_batch
 
@@ -338,6 +361,7 @@ class Trainer:
                     step_fn = self._get_train_step(batch.wav.shape[1])
                     self.state, metrics = step_fn(self.state, self.llm_params, batch)
                     self.step += 1
+                    self._epoch_step += 1
                     if prof_dir:
                         import jax as _jax
 
@@ -366,7 +390,8 @@ class Trainer:
                         # in flight): the process may die right after
                         ckpt.finalize_saves()
                         ckpt.save_train_checkpoint(
-                            self.checkpoint_dir, self.step, epoch, self.state
+                            self.checkpoint_dir, self.step, epoch, self.state,
+                            epoch_step=self._epoch_step,
                         )
                         return
                     if max_steps is not None and self.step >= max_steps:
@@ -481,4 +506,5 @@ class Trainer:
         ckpt.save_train_checkpoint(
             self.checkpoint_dir, self.step, epoch, self.state,
             block=not cfg.log.async_checkpoint,
+            epoch_step=self._epoch_step,
         )

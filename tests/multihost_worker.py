@@ -11,8 +11,18 @@ multi-process Orbax checkpoint save. VERDICT r3 weak #4: these branches
 were previously guarded by ``jax.process_count() > 1`` and never executed.
 
 Usage: multihost_worker.py <process_id> <num_processes> <port> <tmpdir>
+                           [steps] [mode]
 With num_processes=1 it runs the identical workload single-process on an
 8-device host platform — the parity comparator for the test.
+
+``steps`` (default 2) is the max-steps bound. ``mode``:
+  * "train" (default): run Trainer.train() — auto-resumes from the latest
+    checkpoint in <tmpdir>/ckpt if one exists (the restore-continuation
+    test runs the same tmpdir twice with growing step bounds);
+  * "crossload": construct the Trainer only (restoring the latest
+    checkpoint — e.g. one written by a TWO-process cluster into a
+    SINGLE-process run) and report the restored state's hashes. ``steps``
+    is then the step count the restore must land on.
 """
 
 import io
@@ -29,6 +39,8 @@ def main() -> None:
         sys.argv[3],
         sys.argv[4],
     )
+    steps = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+    mode = sys.argv[6] if len(sys.argv) > 6 else "train"
     local_devices = 8 // nproc
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={local_devices}"
@@ -69,46 +81,97 @@ def main() -> None:
     cfg.log.validation_interval = 0
     cfg.data.synthetic_num_samples = 16
     cfg.train.batch_size = 4  # divisible by nproc; pads 4 -> 8 on "data"
-    cfg.train.steps = 2  # 2 jitted steps, then validate() at the return
+    cfg.train.steps = steps  # then validate() at the max-steps return
     cfg.train.epochs = 1
     cfg.train.num_workers = 0
 
     from llm_speech_summarization_tpu.train.trainer import Trainer
 
     mesh = make_mesh(cfg)  # ("data"=8, "model"=1) over the GLOBAL devices
-    t = Trainer(cfg, run_name=f"mh{nproc}", mesh=mesh)
+    # crossload reads the TWO-process cluster's checkpoint dir (run "mh2")
+    # regardless of its own process count — that's the cross-topology load
+    run_name = "mh2" if mode == "crossload" else f"mh{nproc}"
+    t = Trainer(cfg, run_name=run_name, mesh=mesh)
+    resumed_at = int(t.step)  # > 0 iff a latest checkpoint was restored
+
+    import hashlib
+
+    import numpy as np
+
+    def enc_hash() -> str:
+        """sha256 over the raw bytes of every encoder param leaf — the
+        bit-identity probe for the restore-continuation assertions.
+        Post-train leaves are GLOBAL arrays whose sharding metadata may not
+        read as fully-replicated; process_allgather materializes the global
+        value identically on every member."""
+        h = hashlib.sha256()
+        for leaf in jax.tree_util.tree_leaves(t.state.enc_params):
+            try:
+                v = np.asarray(leaf)
+            except RuntimeError:
+                from jax.experimental import multihost_utils
+
+                v = np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+            h.update(v.tobytes())
+        return h.hexdigest()
+
+    def opt_checksum() -> float:
+        """Global |.|-sum over the (ZeRO-1 data-sharded) optimizer state —
+        an eager global computation every cluster member participates in;
+        identical shardings make the reduction order deterministic, so
+        unbroken-vs-resumed runs must match EXACTLY."""
+        return float(
+            sum(
+                float(jax.numpy.sum(jax.numpy.abs(x).astype(jax.numpy.float32)))
+                for x in jax.tree_util.tree_leaves(t.state.opt_state)
+            )
+        )
+
+    result = {
+        "pid": pid,
+        "nproc": nproc,
+        "resumed_at": resumed_at,
+        "steps": int(t.step),
+        "enc_hash": enc_hash(),
+        "opt_checksum": opt_checksum(),
+    }
+
+    if mode == "crossload":
+        # restore-only: the Trainer above already loaded the latest
+        # checkpoint (written by a DIFFERENT process count); verify it
+        # landed on the expected step and report the hashes untouched
+        assert resumed_at == steps, (resumed_at, steps)
+        print(json.dumps(result))
+        return
 
     buf = io.StringIO()
     from contextlib import redirect_stdout
 
     with redirect_stdout(buf):
-        t.train()  # 2 steps + validate (token-weighted ppl) + orbax save
+        t.train()  # steps + validate (token-weighted ppl) + orbax save
     out = buf.getvalue()
     sys.stderr.write(out)
     m = re.search(r"audio_ppl=([0-9.]+) text_ppl=([0-9.]+)", out)
     assert m, f"no validation line in output:\n{out}"
 
-    # encoder params are replicated -> fully-addressable on every process
-    import numpy as np
-
+    # legacy field kept for the cross-process parity test
     checksum = float(
         sum(
             float(jax.numpy.sum(jax.numpy.abs(x)))
             for x in jax.tree_util.tree_leaves(t.state.enc_params)
         )
     )
-    print(
-        json.dumps(
-            {
-                "pid": pid,
-                "nproc": nproc,
-                "audio_ppl": float(m.group(1)),
-                "text_ppl": float(m.group(2)),
-                "enc_checksum": checksum,
-                "steps": int(t.step),
-            }
-        )
+    result.update(
+        {
+            "audio_ppl": float(m.group(1)),
+            "text_ppl": float(m.group(2)),
+            "enc_checksum": checksum,
+            "steps": int(t.step),
+            "enc_hash": enc_hash(),
+            "opt_checksum": opt_checksum(),
+        }
     )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
