@@ -157,24 +157,29 @@ class SlotDecoder:
             self.state = jax.tree_util.tree_map(
                 jax.device_put, self.state, self._state_shardings
             )
-        # under a model-sharded mesh, route every forward through the XLA
-        # attention paths: pallas_calls (paged decode, flash prefill) have
-        # no GSPMD partitioning rule, so the compiler would replicate their
-        # sharded operands (an all-gather of the whole KV pool per layer);
-        # the XLA formulations shard cleanly on the head axis
-        self._attn_impl = (
-            "xla"
-            if mesh is not None and dict(mesh.shape).get("model", 1) > 1
-            # fused decode attention+write kernel for the single-chip slot
-            # decoder (kernels/fused_decode.py; T==1 dense-cache steps only
-            # — paged and spec-verify forwards fall through to their usual
-            # paths inside llama_forward). LSS_FUSED_DECODE=0 reverts.
-            else (
-                "fused"
-                if mesh is None and os.environ.get("LSS_FUSED_DECODE", "1") != "0"
-                else "auto"
+        # fused decode attention+write kernels (dense: kernels/
+        # fused_decode.py; paged: kernels/fused_paged.py; T==1 steps only —
+        # spec-verify forwards fall through to their usual paths inside
+        # llama_forward). LSS_FUSED_DECODE=0 reverts to the XLA decode.
+        #
+        # Under a model-sharded mesh the fused kernels run inside an
+        # explicit shard_map over "model" (per-KV-head independent, zero
+        # collectives — models/llama.py decode_fused); passing
+        # ``tp_mesh`` also makes llama_forward route every NON-fused path
+        # through the XLA formulations, because the plain pallas_calls
+        # (paged decode, flash prefill) have no GSPMD partitioning rule and
+        # would force their sharded operands replicated (an all-gather of
+        # the whole KV pool per layer).
+        fused_on = os.environ.get("LSS_FUSED_DECODE", "1") != "0"
+        tp = dict(mesh.shape).get("model", 1) if mesh is not None else 1
+        self._tp_mesh = mesh if tp > 1 else None
+        if tp > 1:
+            heads_ok = cfg.num_kv_heads % tp == 0 and cfg.num_heads % tp == 0
+            self._attn_impl = "fused" if fused_on and heads_ok else "xla"
+        else:
+            self._attn_impl = (
+                "fused" if mesh is None and fused_on else "auto"
             )
-        )
         self._admit_fns = {}
         self._chunk_fns = {}
         self._release_fns = {}  # set_done → jitted row-release program
@@ -499,6 +504,7 @@ class SlotDecoder:
         if key not in self._admit_fns:
             cfg, eos, max_new = self.cfg, self.eos_id, self.max_new
             attn_impl = self._attn_impl
+            tp_mesh = self._tp_mesh
 
             @self._jit_state_fn
             def fn(params, state: SlotState, embeds, mask, slot_ids, budgets,
@@ -507,7 +513,7 @@ class SlotDecoder:
 
                 tmp = init_kv_cache(cfg, n, T, dtype=self.cache_dtype)
                 out = llama_forward(
-                    params, cfg, attn_impl=attn_impl,
+                    params, cfg, attn_impl=attn_impl, tp_mesh=tp_mesh,
                     inputs_embeds=embeds, attn_mask=mask,
                     kv_cache=tmp, cache_offset=jnp.int32(0),
                     last_logit_only=True,
@@ -565,6 +571,7 @@ class SlotDecoder:
         if key not in self._admit_fns:
             cfg, eos, max_new = self.cfg, self.eos_id, self.max_new
             attn_impl = self._attn_impl
+            tp_mesh = self._tp_mesh
 
             @self._jit_state_fn
             def fn(params, state: SlotState, embeds, mask, slot_ids, budgets,
@@ -574,7 +581,7 @@ class SlotDecoder:
 
                 tmp = init_kv_cache(cfg, n, T, dtype=self.cache_dtype)
                 out = llama_forward(
-                    params, cfg, attn_impl=attn_impl,
+                    params, cfg, attn_impl=attn_impl, tp_mesh=tp_mesh,
                     inputs_embeds=embeds, attn_mask=mask,
                     kv_cache=tmp, cache_offset=jnp.int32(0),
                     last_logit_only=True,
@@ -652,6 +659,7 @@ class SlotDecoder:
         if k_steps not in self._chunk_fns:
             cfg, eos = self.cfg, self.eos_id
             attn_impl = self._attn_impl
+            tp_mesh = self._tp_mesh
             N = self.n_slots
 
             paged = self.paged
@@ -663,9 +671,13 @@ class SlotDecoder:
                     positions = (s.offsets - s.pad_lens)[:, None]
                     if paged:
                         out = llama_forward(
-                            params, cfg, attn_impl=attn_impl,
+                            params, cfg, attn_impl=attn_impl, tp_mesh=tp_mesh,
                             input_ids=s.last_token[:, None],
-                            attn_mask=jnp.ones((N, 1), bool),
+                            # None licenses the fused paged kernel (the
+                            # fresh token is always real on a decode step;
+                            # the paged attention paths never consult the
+                            # fresh mask anyway — paged_reference takes none)
+                            attn_mask=None,
                             positions=positions,
                             # paged decode: the cache carries its own per-row
                             # lengths/pads (models/llama.py decode_paged)
@@ -675,7 +687,7 @@ class SlotDecoder:
                         )
                     else:
                         out = llama_forward(
-                            params, cfg, attn_impl=attn_impl,
+                            params, cfg, attn_impl=attn_impl, tp_mesh=tp_mesh,
                             input_ids=s.last_token[:, None],
                             # None licenses the fused decode kernel (the
                             # fresh token is always real on a decode step)
@@ -784,6 +796,7 @@ class SlotDecoder:
         if key not in self._chunk_fns:
             cfg, eos = self.cfg, self.eos_id
             attn_impl = self._attn_impl
+            tp_mesh = self._tp_mesh
             N = self.n_slots
             K = self.spec_k
             paged = self.paged
@@ -799,7 +812,7 @@ class SlotDecoder:
                     )[None, :]
                     if paged:
                         out = llama_forward(
-                            params, cfg, attn_impl=attn_impl,
+                            params, cfg, attn_impl=attn_impl, tp_mesh=tp_mesh,
                             input_ids=seq,
                             attn_mask=jnp.ones((N, K + 1), bool),
                             positions=positions,
@@ -812,7 +825,7 @@ class SlotDecoder:
                         )
                     else:
                         out = llama_forward(
-                            params, cfg, attn_impl=attn_impl,
+                            params, cfg, attn_impl=attn_impl, tp_mesh=tp_mesh,
                             input_ids=seq,
                             attn_mask=jnp.ones((N, K + 1), bool),
                             positions=positions,

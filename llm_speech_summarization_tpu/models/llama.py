@@ -224,6 +224,7 @@ def _block(
     attn_kind: str,
     ring_mesh=None,
     ring_axis: Optional[str] = None,
+    tp_mesh=None,
 ):
     """One transformer block. Returns (out, (k_new, v_new)).
 
@@ -332,10 +333,90 @@ def _block(
 
         k_cache, v_cache, k_scale_l, v_scale_l = cache_kv
         pad_lens, offsets, li = attn_args
-        res = fused_decode_attention_write(
-            q, k_cache, v_cache, k, v, pad_lens, offsets, li,
-            k_scale_layer=k_scale_l, v_scale_layer=v_scale_l,
-        )
+        if tp_mesh is None:
+            res = fused_decode_attention_write(
+                q, k_cache, v_cache, k, v, pad_lens, offsets, li,
+                k_scale_layer=k_scale_l, v_scale_layer=v_scale_l,
+            )
+        else:
+            # TP: the kernel is per-KV-head independent (attention within
+            # the head group, in-register quantize, in-place window write),
+            # so shard_map over "model" partitions it on Hkv with ZERO
+            # collectives — each model-shard runs the kernel on exactly the
+            # cache heads its wk/wv shards produced (llama_param_spec /
+            # slot_state_spec layouts).
+            from jax.sharding import PartitionSpec as _P
+
+            quant = k_scale_l is not None
+            h4 = _P(None, None, "model", None)  # q/k/v: head axis 2
+            c5 = _P(None, None, "model", None, None)  # (L,B,Hkv,S,Dh)
+            sc = _P(None, "model", None)  # per-layer (B,Hkv,S) scale slab
+            in_specs = (h4, c5, c5, h4, h4, _P(), _P(), _P()) + (
+                (sc, sc) if quant else ()
+            )
+            out_specs = (h4, c5, c5) + (
+                (_P(None, "model"), _P(None, "model")) if quant else ()
+            )
+
+            def call(q_, kc_, vc_, kn_, vn_, pl_, of_, li_, *scales):
+                ks_, vs_ = scales if quant else (None, None)
+                return fused_decode_attention_write(
+                    q_, kc_, vc_, kn_, vn_, pl_, of_, li_,
+                    k_scale_layer=ks_, v_scale_layer=vs_,
+                )
+
+            res = jax.shard_map(
+                call, mesh=tp_mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )(q, k_cache, v_cache, k, v, pad_lens, offsets, li,
+              *((k_scale_l, v_scale_l) if quant else ()))
+        attn, new_cache_kv = res[0], tuple(res[1:])
+    elif attn_kind == "decode_paged_fused":
+        # the paged cache's fused treatment (kernels/fused_paged.py): one
+        # Pallas program per layer streams this layer's pages, attends, and
+        # writes the fresh token's quantized value into its page window in
+        # place. cache_kv = (k_pool, v_pool, k_scale_slab|None,
+        # v_scale_slab|None): the FULL (L, ...) pools ride the scan CARRY
+        # aliased in place; per-layer scale slabs ride xs and the fresh
+        # scales return (B, Hkv) for the caller's ONE post-scan scatter.
+        from ..kernels.fused_paged import fused_paged_decode_write
+
+        k_pool, v_pool, k_scale_l, v_scale_l = cache_kv
+        page_table, lengths, pad_lens, li = attn_args
+        if tp_mesh is None:
+            res = fused_paged_decode_write(
+                q, k_pool, v_pool, page_table, lengths, pad_lens, k, v, li,
+                k_scale_layer=k_scale_l, v_scale_layer=v_scale_l,
+            )
+        else:
+            # TP: page pools shard on Hkv (axis 2 of (L,P,Hkv,ps,Dh), the
+            # slot_state_spec layout); page tables/lengths replicate. Same
+            # zero-collective head partition as decode_fused above.
+            from jax.sharding import PartitionSpec as _P
+
+            quant = k_scale_l is not None
+            h4 = _P(None, None, "model", None)
+            p5 = _P(None, None, "model", None, None)
+            sc = _P(None, "model", None)  # per-layer (P,Hkv,ps) scale slab
+            in_specs = (h4, p5, p5, _P(), _P(), _P(), h4, h4, _P()) + (
+                (sc, sc) if quant else ()
+            )
+            out_specs = (h4, p5, p5) + (
+                (_P(None, "model"), _P(None, "model")) if quant else ()
+            )
+
+            def call(q_, kp_, vp_, pt_, ln_, pl_, kn_, vn_, li_, *scales):
+                ks_, vs_ = scales if quant else (None, None)
+                return fused_paged_decode_write(
+                    q_, kp_, vp_, pt_, ln_, pl_, kn_, vn_, li_,
+                    k_scale_layer=ks_, v_scale_layer=vs_,
+                )
+
+            res = jax.shard_map(
+                call, mesh=tp_mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )(q, k_pool, v_pool, page_table, lengths, pad_lens, k, v, li,
+              *((k_scale_l, v_scale_l) if quant else ()))
         attn, new_cache_kv = res[0], tuple(res[1:])
     elif attn_kind == "decode_pallas":
         from ..kernels.decode_attention import decode_attention
@@ -429,7 +510,7 @@ def _block(
         gate = jax.nn.silu(_mm(h, lp, "w_gate"))
         up = _mm(h, lp, "w_up")
     x = x + _mm(gate * up, lp, "w_down")
-    if attn_kind == "decode_fused":
+    if attn_kind in ("decode_fused", "decode_paged_fused"):
         return x, new_cache_kv  # cache already written in-place by the kernel
     return x, (k, v)
 
@@ -458,6 +539,7 @@ def llama_forward(
     scan_unroll: int = 1,
     ring_mesh=None,
     ring_axis: str = "seq",
+    tp_mesh=None,
 ) -> LlamaOutput:
     """Run the decoder.
 
@@ -530,6 +612,21 @@ def llama_forward(
         use_pallas = jax.default_backend() == "tpu" and cfg.head_dim % 128 == 0
     else:
         use_pallas = attn_impl == "pallas"
+    # TP mesh: only the FUSED kernels have a partitioning story (explicit
+    # shard_map over "model" in _block) — the plain flash/decode pallas
+    # kernels have no GSPMD rule and would force their sharded operands
+    # replicated, so every non-fused path goes through the XLA formulations
+    # (which shard cleanly on the head axis).
+    tp_n = 1 if tp_mesh is None else dict(tp_mesh.shape).get("model", 1)
+    if tp_n > 1:
+        use_pallas = False
+    else:
+        tp_mesh = None
+    # the head partition needs both head counts divisible (and the kernels'
+    # internal row-grouping works on the per-shard head counts)
+    tp_heads_ok = tp_n == 1 or (
+        cfg.num_kv_heads % tp_n == 0 and cfg.num_heads % tp_n == 0
+    )
 
     # paged cache (infer/paged.py PagedKVCache): decode-only through this
     # forward — prefill runs on a dense temp cache and scatters into pages
@@ -564,7 +661,32 @@ def llama_forward(
         # decode (T == 1) or a speculative (k+1)-token verification forward
         # (T > 1, infer/slots.py) — prefill still goes dense→scatter; the
         # paged kernel attends the fresh block causally
-        attn_kind = "decode_paged_xla" if attn_impl == "xla" else "decode_paged"
+        ps_ = kv_cache.page_size
+        fused_paged_ok = (
+            cfg.head_dim % 128 == 0
+            and ps_ % 32 == 0
+            and (not kv_cache.quantized or ps_ % 128 == 0)
+        ) or jax.default_backend() != "tpu"  # non-TPU → oracle (tests)
+        if (
+            attn_impl == "fused"
+            and T == 1
+            and fresh_mask_implicit
+            and fused_paged_ok
+            and tp_heads_ok
+        ):
+            # fused paged attention + in-place quantized page write
+            # (kernels/fused_paged.py): pools ride the scan CARRY aliased
+            # in place — no per-layer pool slice, no post-scan value
+            # scatters; only the fresh token's SCALES exit for one tiny
+            # post-scan scatter. Same fresh-token contract as decode_fused
+            # (T == 1, attn_mask=None).
+            attn_kind = "decode_paged_fused"
+        else:
+            attn_kind = (
+                "decode_paged_xla"
+                if attn_impl == "xla" or tp_mesh is not None
+                else "decode_paged"
+            )
         attn_args = (kv_cache.page_table, kv_cache.lengths, kv_cache.pad_lens)
     else:
         assert cache_offset is not None
@@ -593,6 +715,7 @@ def llama_forward(
             and kv_pad_lens is not None
             and fused_shape_ok
             and fresh_mask_implicit
+            and tp_heads_ok
         ):
             # fused attention + in-place quantized cache write: one Pallas
             # program per layer absorbs the two op families the decode-gap
@@ -636,7 +759,8 @@ def llama_forward(
             )
 
     block = functools.partial(
-        _block, attn_kind=attn_kind, ring_mesh=ring_mesh, ring_axis=ring_axis
+        _block, attn_kind=attn_kind, ring_mesh=ring_mesh, ring_axis=ring_axis,
+        tp_mesh=tp_mesh,
     )
     if remat:
         if remat_policy == "save_qkv":
@@ -724,6 +848,66 @@ def llama_forward(
         )
         hidden_stack = None
         new_kv = KVCache(kc, vc, ys[0], ys[1]) if quantized else KVCache(kc, vc)
+    elif attn_kind == "decode_paged_fused":
+        assert not return_hidden, "fused decode path is generation-only"
+        quantized = kv_cache.quantized
+
+        def scan_body_paged_fused(carry, xs_l):
+            h, kp, vp, li = carry
+            if quantized:
+                lp, ksl, vsl = xs_l
+            else:
+                lp, ksl, vsl = xs_l, None, None
+            out, new_caches = block(
+                cfg, lp, h, rope_cos, rope_sin, attn_args + (li,),
+                (kp, vp, ksl, vsl),
+            )
+            if quantized:
+                kp, vp, ksn, vsn = new_caches
+                ys = (ksn, vsn)  # (B, Hkv) fresh scales, stacked over L
+            else:
+                kp, vp = new_caches
+                ys = jnp.zeros((0,), h.dtype)
+            return (out, kp, vp, li + 1), ys
+
+        xs = (
+            (params["layers"], kv_cache.k_scale, kv_cache.v_scale)
+            if quantized
+            else params["layers"]
+        )
+        (x, kp, vp, _), ys = jax.lax.scan(
+            scan_body_paged_fused,
+            (x, kv_cache.k_pool, kv_cache.v_pool, jnp.int32(0)),
+            xs,
+            unroll=scan_unroll,
+        )
+        hidden_stack = None
+        if quantized:
+            # ONE post-scan scatter of the (L, B, Hkv) fresh-scale stack at
+            # each row's (page, slot) — write_tokens routing (out-of-table
+            # positions sink to the null page 0); the 128×-bigger VALUES
+            # were already written in place by the kernel.
+            ps_ = kv_cache.page_size
+            mp_ = kv_cache.page_table.shape[1]
+            page_idx = kv_cache.lengths // ps_
+            slot = kv_cache.lengths % ps_
+            pid = jnp.take_along_axis(
+                kv_cache.page_table, jnp.clip(page_idx, 0, mp_ - 1)[:, None], axis=1
+            )[:, 0]
+            pid = jnp.where((page_idx >= 0) & (page_idx < mp_), pid, 0)
+            # (B,) advanced indices on axes (1: page, 3: slot) are separated
+            # by the head slice, so numpy moves them to the FRONT — the
+            # update operand is (B, L, Hkv) (write_tokens has the same rule)
+            ksn = ys[0].transpose(1, 0, 2).astype(kv_cache.k_scale.dtype)
+            vsn = ys[1].transpose(1, 0, 2).astype(kv_cache.v_scale.dtype)
+            new_kv = kv_cache._replace(
+                k_pool=kp,
+                v_pool=vp,
+                k_scale=kv_cache.k_scale.at[:, pid, :, slot].set(ksn),
+                v_scale=kv_cache.v_scale.at[:, pid, :, slot].set(vsn),
+            )
+        else:
+            new_kv = kv_cache._replace(k_pool=kp, v_pool=vp)
     elif kv_cache is None:
         x, hidden_stack = jax.lax.scan(scan_body, x, params["layers"], unroll=scan_unroll)
         new_kv = None

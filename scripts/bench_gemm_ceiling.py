@@ -1,0 +1,107 @@
+"""Measure this chip's sustained GEMM rate AT THE PREFILL SHAPES.
+
+VERDICT r4 weak #6: PERF.md's prefill attribution concluded "147 TF/s
+effective", ABOVE the 125-135 TF/s 'measured sustained' ceiling — an
+impossible number if that ceiling were real. But the 125-135 figure was
+inferred by normalizing the KD train step (a mixed GEMM/attention/conv
+program), and the only direct measurement in PERF.md (85 TF/s bf16 at
+(8192,3072,8192)) is a single odd shape. This script measures the thing
+the attribution actually needs: a 28-layer chain of the EXACT fused
+prefill GEMMs — (B·T,3072)@(3072,5120) wqkv, (B·T,3072)@(3072,3072) wo,
+(B·T,3072)@(3072,16384) gateup, (B·T,8192)@(8192,3072) down — chained
+through the activation like the real program, bf16 and weight-int8
+variants, at B·T = 64·384.
+
+Timing rule: jax.block_until_ready does NOT sync on axon — every timing
+forces a host transfer (np.asarray), per CLAUDE.md.
+
+Run: timeout 600 python scripts/bench_gemm_ceiling.py  (real TPU)
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from llm_speech_summarization_tpu.utils.compile_cache import (
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
+L = 28
+D, QKV, I = 3072, 5120, 8192
+BT = 64 * 384
+
+
+def build(int8: bool):
+    rng = np.random.RandomState(0)
+
+    def w(m, n):
+        a = (rng.randn(m, n) / np.sqrt(m)).astype(np.float32)
+        if int8:
+            s = np.abs(a).max(axis=0, keepdims=True) / 127.0 + 1e-8
+            return (
+                jnp.asarray(np.clip(np.round(a / s), -127, 127), jnp.int8),
+                jnp.asarray(s, jnp.bfloat16),
+            )
+        return jnp.asarray(a, jnp.bfloat16), None
+
+    layers = []
+    for _ in range(L):
+        layers.append(
+            dict(
+                wqkv=w(D, QKV), wo=w(D, D), wgu=w(D, 2 * I), wd=w(I, D)
+            )
+        )
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+    def mm(x, wpair):
+        wt, sc = wpair
+        y = jnp.dot(x, wt.astype(jnp.bfloat16))
+        if sc is not None:
+            y = y * sc.astype(jnp.bfloat16)
+        return y
+
+    @jax.jit
+    def chain(x, ls):
+        def body(h, lp):
+            a = mm(h, lp["wqkv"])  # (BT, 5120)
+            h = h + mm(a[:, :D], lp["wo"])
+            g = mm(h, lp["wgu"])
+            h = h + mm(g[:, :I] * g[:, I:], lp["wd"])
+            return h, None
+
+        h, _ = jax.lax.scan(body, x, ls)
+        return h
+
+    return stacked, chain
+
+
+def main():
+    assert jax.default_backend() != "cpu", "run on the real chip"
+    x = jnp.asarray(np.random.randn(BT, D).astype(np.float32), jnp.bfloat16)
+    flop = 2 * BT * L * (D * QKV + D * D + D * 2 * I + I * D)
+    print(f"chain FLOPs = {flop/1e12:.1f} TF at BT={BT}", flush=True)
+    for int8 in (False, True):
+        ls, chain = build(int8)
+        np.asarray(chain(x, ls))  # compile + warm
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(chain(x, ls))
+            times.append(time.perf_counter() - t0)
+        ms = min(times) * 1000
+        print(
+            f"{'int8' if int8 else 'bf16'} weights: {ms:7.1f} ms → "
+            f"{flop/(ms/1000)/1e12:6.1f} TF/s sustained",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -192,6 +192,30 @@ def test_tp_paged_spec_chunks_token_identical(engines):
 
 
 @needs_8_devices
+def test_tp_selects_fused_decode(engines):
+    """VERDICT r4 #3: under a model-sharded mesh the decoder must route
+    decode through the FUSED kernels (shard_map over "model"), not the old
+    blanket XLA fallback — and LSS_FUSED_DECODE=0 must still revert."""
+    ref, tp, mesh = engines
+    dec = SlotDecoder(
+        tp.llm_params, tp.llm_cfg, eos_id=tp.tokenizer.eos_id, n_slots=4,
+        max_prompt_len=256, max_new_tokens=32,
+        cache_dtype=tp.cache_dtype, mesh=tp.mesh,
+    )
+    assert dec._attn_impl == "fused" and dec._tp_mesh is mesh
+    os.environ["LSS_FUSED_DECODE"] = "0"
+    try:
+        dec2 = SlotDecoder(
+            tp.llm_params, tp.llm_cfg, eos_id=tp.tokenizer.eos_id, n_slots=4,
+            max_prompt_len=256, max_new_tokens=32,
+            cache_dtype=tp.cache_dtype, mesh=tp.mesh,
+        )
+        assert dec2._attn_impl == "xla"
+    finally:
+        os.environ.pop("LSS_FUSED_DECODE", None)
+
+
+@needs_8_devices
 def test_tp_http_e2e_on_mesh(engines):
     """Full HTTP serving (continuous scheduler + streaming) with the engine
     on the mesh: audio and text endpoints answer; streamed deltas
