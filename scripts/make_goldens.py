@@ -221,6 +221,58 @@ def golden_generate_tokens():
     )
 
 
+def golden_sampled_tokens():
+    """Seeded per-request sampling stream (VERDICT r4 #6): pins the
+    infer/sampling.py counter-hash sampler — the murmur3 (seed, position)
+    draw sequence, the 64-candidate inverse-CDF pick, per-row temperature/
+    top-k/top-p, and greedy-row exactness inside a mixed batch — as one
+    committed fixture. Draws key to the row's UNPADDED position, so the
+    fixture includes a left-padded row; test_goldens.py replays it alone
+    (different batch, no padding) and asserts the identical stream."""
+    import jax
+    import jax.numpy as jnp
+
+    from llm_speech_summarization_tpu.infer.generate import greedy_generate
+    from llm_speech_summarization_tpu.infer.sampling import pack_sampling_params
+    from llm_speech_summarization_tpu.models.llama import (
+        init_llama_params,
+        llama_preset,
+    )
+
+    cfg = llama_preset("tiny")
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    table = params["embed_tokens"]
+    rng = np.random.RandomState(7)
+    L = 16
+    ids = rng.randint(1, cfg.vocab_size, size=(4, L))
+    mask = np.ones((4, L), bool)
+    mask[1, :5] = False  # left-padded row: draws must ignore the padding
+    ids[1, :5] = 0
+    # (temperature, top_k, top_p, seed) per row; None = greedy
+    spec = [None, (0.9, 0, 1.0, 1234), (1.3, 8, 1.0, 42), (0.8, 0, 0.9, 7)]
+    packed = pack_sampling_params(spec, 4)
+    toks, lens = greedy_generate(
+        params, cfg, table[jnp.asarray(ids)], jnp.asarray(mask),
+        max_new_tokens=12, eos_id=0, cache_dtype=jnp.float32,
+        sampling=tuple(jnp.asarray(a) for a in packed),
+    )
+    write(
+        "sampled_tokens_tiny.json",
+        {
+            "llm_preset": "tiny",
+            "param_seed": 0,
+            "param_dtype": "float32",
+            "prompt_ids": ids.tolist(),
+            "prompt_mask": mask.astype(int).tolist(),
+            "sampling": [list(s) if s else None for s in spec],
+            "max_new_tokens": 12,
+            "eos_id": 0,
+            "tokens": np.asarray(toks).tolist(),
+            "lengths": np.asarray(lens).tolist(),
+        },
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--tokenizer", default=None,
@@ -233,6 +285,7 @@ def main():
     golden_audio_lengths()
     golden_splice_layout()
     golden_generate_tokens()
+    golden_sampled_tokens()
 
 
 if __name__ == "__main__":

@@ -77,8 +77,14 @@ python scripts/make_goldens.py --tokenizer "$HF_LLAMA"
 python -m pytest tests/test_goldens.py -q
 
 echo "== [4/5] HF parity: tiny-config converter tests + REAL-weights logits"
+echo "   (+ the fused-kernel margin contract and seeded-sampling goldens —"
+echo "    on a real TPU these drive the ACTUAL Pallas hot paths: fused"
+echo "    decode attention+write, paged fusion, per-request sampler)"
 LSS_HF_LLAMA_DIR="$HF_LLAMA" LSS_HF_HUBERT_DIR="$HF_HUBERT" \
-    python -m pytest tests/test_hf_parity.py tests/test_real_weights.py -q
+    python -m pytest tests/test_hf_parity.py tests/test_real_weights.py \
+    "tests/test_fused_decode.py::test_fused_margin_aware_stream" \
+    "tests/test_goldens.py::test_sampled_tokens_golden" \
+    "tests/test_goldens.py::test_sampled_tokens_replay_invariant" -q
 
 if [ -n "$DATA" ]; then
   echo "== [5/5] quality table (ROUGE + BERTScore) on $DATA"

@@ -119,3 +119,72 @@ def test_generate_tokens_golden():
     )
     assert np.asarray(toks).tolist() == g["tokens"]
     assert np.asarray(lens).tolist() == g["lengths"]
+
+
+def _sampled_golden_run(g, rows):
+    """Replay a subset of the sampled-tokens golden's rows: each row keeps
+    its own UNPADDED prompt (padding stripped), whatever batch it lands in."""
+    from llm_speech_summarization_tpu.infer.generate import greedy_generate
+    from llm_speech_summarization_tpu.infer.sampling import pack_sampling_params
+    from llm_speech_summarization_tpu.models.llama import (
+        init_llama_params,
+        llama_preset,
+    )
+
+    cfg = llama_preset(g["llm_preset"])
+    params = init_llama_params(
+        jax.random.PRNGKey(g["param_seed"]), cfg, dtype=jnp.float32
+    )
+    ids = np.asarray(g["prompt_ids"])[rows]
+    mask = np.asarray(g["prompt_mask"])[rows].astype(bool)
+    spec = [tuple(g["sampling"][r]) if g["sampling"][r] else None for r in rows]
+    packed = pack_sampling_params(spec, len(rows))
+    sampling = (
+        None if packed is None else tuple(jnp.asarray(a) for a in packed)
+    )
+    toks, lens = greedy_generate(
+        params, cfg, params["embed_tokens"][jnp.asarray(ids)],
+        jnp.asarray(mask), max_new_tokens=g["max_new_tokens"],
+        eos_id=g["eos_id"], cache_dtype=jnp.float32, sampling=sampling,
+    )
+    return np.asarray(toks).tolist(), np.asarray(lens).tolist()
+
+
+def test_sampled_tokens_golden():
+    """Seeded per-request sampling stream (VERDICT r4 #6): the committed
+    fixture pins the counter-hash sampler's draw sequence, the candidate-
+    window inverse-CDF pick, and greedy-row exactness in a mixed batch."""
+    g = load("sampled_tokens_tiny.json")
+    toks, lens = _sampled_golden_run(g, rows=[0, 1, 2, 3])
+    assert toks == g["tokens"]
+    assert lens == g["lengths"]
+
+
+def test_sampled_tokens_replay_invariant():
+    """A seeded request replays bit-identically in ANY batch composition:
+    the golden's left-padded sampling row, run ALONE with its padding
+    stripped, must emit the exact committed stream (draws key to the row's
+    unpadded position, not the batch/bucket layout)."""
+    g = load("sampled_tokens_tiny.json")
+    pad = sum(1 for m in g["prompt_mask"][1] if not m)
+    ids = [g["prompt_ids"][1][pad:]]
+    from llm_speech_summarization_tpu.infer.generate import greedy_generate
+    from llm_speech_summarization_tpu.infer.sampling import pack_sampling_params
+    from llm_speech_summarization_tpu.models.llama import (
+        init_llama_params,
+        llama_preset,
+    )
+
+    cfg = llama_preset(g["llm_preset"])
+    params = init_llama_params(
+        jax.random.PRNGKey(g["param_seed"]), cfg, dtype=jnp.float32
+    )
+    packed = pack_sampling_params([tuple(g["sampling"][1])], 1)
+    toks, _ = greedy_generate(
+        params, cfg, params["embed_tokens"][jnp.asarray(ids, jnp.int32)],
+        jnp.ones((1, len(ids[0])), bool),
+        max_new_tokens=g["max_new_tokens"], eos_id=g["eos_id"],
+        cache_dtype=jnp.float32,
+        sampling=tuple(jnp.asarray(a) for a in packed),
+    )
+    assert np.asarray(toks)[0].tolist() == g["tokens"][1]
