@@ -35,7 +35,13 @@ transparently, like the dense decode kernel's (bb, 1, S) scale blocks)
 and the fresh token's scales EXIT as small per-row value outputs that the
 caller scatters with one tiny XLA dynamic-update-slice per layer — the
 scale slabs ride the decode scan as xs/ys (~1.8 MB/layer), not as
-aliased carry.
+aliased carry. Round 5 (VERDICT r4 #8) built the aliased alternative
+(``fused_decode_aliased_scales``: lane-padded slabs, manual DMAs, in-VMEM
+merge, in-place write-back) and it MEASURES FASTER — 11.6 vs 12.5
+ms/step at the B=128/S=448 int8 point (alternating-run confirmed;
+PERF.md round-5 scale-slab section) — so it is now the DEFAULT for
+quantized caches (models/llama.py decode_fused); the xs/ys design stays
+selectable via LSS_FUSED_ALIASED_SCALES=0.
 
 The reference's decode loop runs one HF forward per token with eager
 cache appends (reference: inference.py:55-74); this kernel replaces its
@@ -316,6 +322,351 @@ def _fused_kernel(
     def _():
         for c in wr_descs(i, par):
             c.wait()
+
+
+def _pad128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def fused_reference_aliased(
+    q, k_cache, v_cache, k_new, v_new, pad_lens, offsets, layer,
+    k_scales, v_scales,
+):
+    """XLA oracle for the aliased-scale mode: identical math to
+    ``fused_reference`` with the fresh scales scattered into the PADDED
+    (L, B, Hkv, Spad) slabs instead of returned. Returns
+    (out, k_cache, v_cache, k_scales, v_scales)."""
+    S = k_cache.shape[3]
+    B = q.shape[0]
+    ksl = jax.lax.dynamic_index_in_dim(k_scales, layer, 0, keepdims=False)
+    vsl = jax.lax.dynamic_index_in_dim(v_scales, layer, 0, keepdims=False)
+    out, kc2, vc2, ksn, vsn = fused_reference(
+        q, k_cache, v_cache, k_new, v_new, pad_lens, offsets, layer,
+        k_scale_layer=ksl[..., :S], v_scale_layer=vsl[..., :S],
+    )
+    rows = jnp.arange(B)
+    ks2 = ksl.at[rows, :, offsets].set(ksn.astype(k_scales.dtype))
+    vs2 = vsl.at[rows, :, offsets].set(vsn.astype(v_scales.dtype))
+    return (
+        out, kc2, vc2,
+        jax.lax.dynamic_update_index_in_dim(k_scales, ks2, layer, 0),
+        jax.lax.dynamic_update_index_in_dim(v_scales, vs2, layer, 0),
+    )
+
+
+def _fused_kernel_aliased(
+    scal_ref,  # (2B+1,) int32: [pads | offsets | layer]
+    q_ref,  # (bb, G, Dh) VMEM
+    kn_ref,  # (bb, 1, Dh) VMEM fresh key
+    vn_ref,  # (bb, 1, Dh) VMEM fresh value
+    k_hbm,  # (L, B, Hkv, S, Dh) int8 ANY — aliased in place
+    v_hbm,
+    ks_hbm,  # (L, B, Hkv, Spad) bf16 ANY — aliased in place
+    vs_hbm,
+    o_ref,  # (bb, G, Dh) VMEM out
+    ko_hbm,  # aliased outputs
+    vo_hbm,
+    kso_hbm,
+    vso_hbm,
+    k_buf,  # (2, bs, Hkv, S, Dh) VMEM scratch
+    v_buf,
+    ksc_buf,  # (2, bs, Hkv, Spad) VMEM scratch
+    vsc_buf,
+    rsem,  # (2, 4) DMA sems
+    kw_st,  # (2, bs, Hkv, WINDOW, Dh) value write staging
+    vw_st,
+    ksw_st,  # (2, bs, Hkv, Spad) merged scale staging
+    vsw_st,
+    wsem,  # (2, bs, 2) value-window write sems
+    ssem,  # (2, 2) scale-slab write sems
+    *,
+    bs: int,
+    Hkv: int,
+    S: int,
+    G: int,
+    scale: float,
+):
+    """Aliased-scale variant of ``_fused_kernel`` (VERDICT r4 #8): the
+    scale slabs' lane dim is padded to a 128 multiple so they can ride the
+    decode scan as aliased carry exactly like the values — manual
+    double-buffered DMA reads, in-VMEM fresh-scale merge, one whole-slab
+    write-back per program (~65 KB against the layer's 117 MB value
+    stream). This removes the per-layer xs/ys scale threading AND the
+    caller's dense one-hot merge from the scan body."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    B = n * bs
+    bb = bs * Hkv
+    Spad = ksc_buf.shape[-1]
+    li = scal_ref[2 * B]
+
+    def rd(t, slot):
+        b0 = t * bs
+        return [
+            pltpu.make_async_copy(
+                k_hbm.at[li, pl.ds(b0, bs)], k_buf.at[slot], rsem.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[li, pl.ds(b0, bs)], v_buf.at[slot], rsem.at[slot, 1]
+            ),
+            pltpu.make_async_copy(
+                ks_hbm.at[li, pl.ds(b0, bs)], ksc_buf.at[slot], rsem.at[slot, 2]
+            ),
+            pltpu.make_async_copy(
+                vs_hbm.at[li, pl.ds(b0, bs)], vsc_buf.at[slot], rsem.at[slot, 3]
+            ),
+        ]
+
+    @pl.when(i == 0)
+    def _():
+        for c in rd(0, 0):
+            c.start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for c in rd(i + 1, (i + 1) % 2):
+            c.start()
+
+    slot = i % 2
+    for c in rd(i, slot):
+        c.wait()
+
+    q = q_ref[:]  # (bb, G, Dh)
+    Dh = q_ref.shape[-1]
+    k = k_buf[slot].reshape(bb, S, Dh)
+    v = v_buf[slot].reshape(bb, S, Dh)
+    s = jax.lax.dot_general(
+        q, k.astype(q.dtype),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (bb, G, S)
+    ks_slab = ksc_buf[slot].reshape(bb, 1, Spad)
+    vs_slab = vsc_buf[slot].reshape(bb, 1, Spad)
+    s = s * ks_slab[:, :, :S].astype(jnp.float32)
+    s = s * scale
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    masks = [
+        (pos >= scal_ref[(i * bs + r // Hkv)])
+        & (pos < scal_ref[B + (i * bs + r // Hkv)])
+        for r in range(bb)
+    ]
+    valid = jnp.stack(masks, axis=0)  # (bb, 1, S)
+    s = jnp.where(valid, s, NEG_INF)
+
+    s_new = jax.lax.dot_general(
+        q, kn_ref[:].astype(q.dtype),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bb, G, 1)
+
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_new)
+    p = jnp.exp(s - m)
+    p_new = jnp.exp(s_new - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + p_new
+    p = p * vs_slab[:, :, :S].astype(jnp.float32)
+    acc = jax.lax.dot_general(
+        p.astype(q.dtype), v.astype(q.dtype),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    acc = acc + p_new * vn_ref[:].astype(jnp.float32)
+    o_ref[:] = (acc / denom).astype(o_ref.dtype)
+
+    # ---- quantize the fresh token; write values (window) + scales (slab) --
+    kq, ksn = _quantize_rows(kn_ref[:].astype(jnp.float32))  # (bb,1,Dh),(bb,1,1)
+    vq, vsn = _quantize_rows(vn_ref[:].astype(jnp.float32))
+    kq = kq.reshape(bs, Hkv, 1, Dh)
+    vq = vq.reshape(bs, Hkv, 1, Dh)
+
+    def wr_descs(t, parity):
+        descs = []
+        for r in range(bs):
+            off_t = scal_ref[B + t * bs + r]
+            w0_t = pl.multiple_of(
+                jnp.minimum((off_t // WINDOW) * WINDOW, S - WINDOW), WINDOW
+            )
+            b_t = t * bs + r
+            for j, (st, dst) in enumerate(((kw_st, ko_hbm), (vw_st, vo_hbm))):
+                descs.append(
+                    pltpu.make_async_copy(
+                        st.at[parity, r],
+                        dst.at[li, b_t, :, pl.ds(w0_t, WINDOW), :],
+                        wsem.at[parity, r, j],
+                    )
+                )
+        b0_t = t * bs
+        descs.append(
+            pltpu.make_async_copy(
+                ksw_st.at[parity], kso_hbm.at[li, pl.ds(b0_t, bs)],
+                ssem.at[parity, 0],
+            )
+        )
+        descs.append(
+            pltpu.make_async_copy(
+                vsw_st.at[parity], vso_hbm.at[li, pl.ds(b0_t, bs)],
+                ssem.at[parity, 1],
+            )
+        )
+        return descs
+
+    par = i % 2
+
+    @pl.when(i >= 2)
+    def _():
+        for c in wr_descs(i - 2, par):
+            c.wait()
+
+    win_iota = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW, 1), 1)
+    for r in range(bs):
+        off = scal_ref[B + i * bs + r]
+        w0 = pl.multiple_of(
+            jnp.minimum((off // WINDOW) * WINDOW, S - WINDOW), WINDOW
+        )
+        sel = win_iota == (off - w0)  # (1, WINDOW, 1)
+        old_k = k_buf[slot, r, :, pl.ds(w0, WINDOW), :]  # (Hkv, WINDOW, Dh)
+        old_v = v_buf[slot, r, :, pl.ds(w0, WINDOW), :]
+        kw_st[par, r] = jnp.where(sel, kq[r], old_k)
+        vw_st[par, r] = jnp.where(sel, vq[r], old_v)
+    # merged scale slabs: one elementwise select over (bs, Hkv, Spad) —
+    # offsets < S < Spad, so pad lanes keep their resident (finite) values.
+    # Per-row scalar-vs-iota compares stacked, NOT a (bs,) vector reshaped
+    # to (bs,1,1): Mosaic rejects that shape cast ("infer-vector-layout:
+    # unsupported shape cast tpu.reshape vector<bs xi32> -> bs x1x1")
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Spad), 1)
+    hit = jnp.stack(
+        [lane == scal_ref[B + i * bs + r] for r in range(bs)], axis=0
+    )  # (bs, 1, Spad)
+    ksw_st[par] = jnp.where(
+        hit, ksn.reshape(bs, Hkv, 1).astype(ksw_st.dtype), ksc_buf[slot]
+    )
+    vsw_st[par] = jnp.where(
+        hit, vsn.reshape(bs, Hkv, 1).astype(vsw_st.dtype), vsc_buf[slot]
+    )
+    for c in wr_descs(i, par):
+        c.start()
+
+    @pl.when(i >= n - 2)
+    def _():
+        for c in wr_descs(i, par):
+            c.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_decode_aliased_scales(
+    q: jnp.ndarray,  # (B, 1, Hq, Dh)
+    k_cache: jnp.ndarray,  # (L, B, Hkv, S, Dh) int8
+    v_cache: jnp.ndarray,
+    k_new: jnp.ndarray,  # (B, 1, Hkv, Dh)
+    v_new: jnp.ndarray,
+    pad_lens: jnp.ndarray,  # (B,) int32
+    offsets: jnp.ndarray,  # (B,) int32, < S (same contract as the base kernel)
+    layer: jnp.ndarray,  # scalar int32
+    k_scales: jnp.ndarray,  # (L, B, Hkv, Spad) bf16, Spad = pad128(S) — ALIASED
+    v_scales: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Aliased-scale fused decode (VERDICT r4 #8): like
+    ``fused_decode_attention_write`` but the int8 scale slabs are padded to
+    a 128-multiple lane dim and aliased in place alongside the values, so
+    the decode scan threads NO scale xs/ys and performs NO post-kernel
+    merge. Callers pad the (L, B, Hkv, S) slabs once per step
+    (models/llama.py decode_fused path) and slice back after the scan.
+    Returns (out, k_cache, v_cache, k_scales, v_scales) — all four cache
+    operands are consumed (donated)."""
+    B, T, Hq, Dh = q.shape
+    L, _, Hkv, S, _ = k_cache.shape
+    Spad = k_scales.shape[-1]
+    assert T == 1 and Hq % Hkv == 0
+    assert Spad == _pad128(S), (Spad, S)
+    group = Hq // Hkv
+
+    aligned = Dh % 128 == 0 and S % WINDOW == 0
+    if (jax.default_backend() != "tpu" or not aligned) and not interpret:
+        return fused_reference_aliased(
+            q, k_cache, v_cache, k_new, v_new, pad_lens, offsets, layer,
+            k_scales, v_scales,
+        )
+
+    bs = _pick_bs(B, Hkv, S, Dh, k_cache.dtype.itemsize)
+    bb = bs * Hkv
+    R = B * Hkv
+
+    qg = q.reshape(B, Hkv, group, Dh).reshape(R, group, Dh)
+    kn = k_new.astype(q.dtype).transpose(0, 2, 1, 3).reshape(R, 1, Dh)
+    vn = v_new.astype(q.dtype).transpose(0, 2, 1, 3).reshape(R, 1, Dh)
+    scalars = jnp.concatenate(
+        [
+            pad_lens.astype(jnp.int32),
+            offsets.astype(jnp.int32),
+            jnp.asarray(layer, jnp.int32)[None],
+        ]
+    )
+
+    row_block = lambda i, scal: (i, 0, 0)  # noqa: E731
+    kernel = functools.partial(
+        _fused_kernel_aliased, bs=bs, Hkv=Hkv, S=S, G=group,
+        scale=Dh ** -0.5,
+    )
+    in_specs = [
+        pl.BlockSpec((bb, group, Dh), row_block),
+        pl.BlockSpec((bb, 1, Dh), row_block),
+        pl.BlockSpec((bb, 1, Dh), row_block),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    operands = [scalars, qg, kn, vn, k_cache, v_cache, k_scales, v_scales]
+    out_shape = [
+        jax.ShapeDtypeStruct((R, group, Dh), q.dtype),
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        jax.ShapeDtypeStruct(k_scales.shape, k_scales.dtype),
+        jax.ShapeDtypeStruct(v_scales.shape, v_scales.dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((bb, group, Dh), row_block),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    # operand indices incl. scalar-prefetch arg 0: k_cache=4 ... v_scales=7
+    aliases = {4: 1, 5: 2, 6: 3, 7: 4}
+    cache_dt = k_cache.dtype
+    scale_dt = k_scales.dtype
+    Spad_ = Spad
+    scratch = [
+        pltpu.VMEM((2, bs, Hkv, S, Dh), cache_dt),  # k_buf
+        pltpu.VMEM((2, bs, Hkv, S, Dh), cache_dt),  # v_buf
+        pltpu.VMEM((2, bs, Hkv, Spad_), scale_dt),  # ksc_buf
+        pltpu.VMEM((2, bs, Hkv, Spad_), scale_dt),  # vsc_buf
+        pltpu.SemaphoreType.DMA((2, 4)),  # rsem
+        pltpu.VMEM((2, bs, Hkv, WINDOW, Dh), cache_dt),  # kw_st
+        pltpu.VMEM((2, bs, Hkv, WINDOW, Dh), cache_dt),  # vw_st
+        pltpu.VMEM((2, bs, Hkv, Spad_), scale_dt),  # ksw_st
+        pltpu.VMEM((2, bs, Hkv, Spad_), scale_dt),  # vsw_st
+        pltpu.SemaphoreType.DMA((2, bs, 2)),  # wsem
+        pltpu.SemaphoreType.DMA((2, 2)),  # ssem
+    ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // bs,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*operands)
+    out = outs[0].reshape(B, Hkv, group, Dh).reshape(B, 1, Hq, Dh)
+    return (out,) + tuple(outs[1:])
 
 
 def _pick_bs(B: int, Hkv: int, S: int, Dh: int, itemsize: int) -> int:

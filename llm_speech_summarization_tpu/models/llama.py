@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from dataclasses import dataclass
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -325,19 +326,36 @@ def _block(
         # one Pallas program per layer: attention over the FULL (L, ...)
         # value cache at this layer PLUS the quantized in-place write of
         # the fresh token (kernels/fused_decode.py). cache_kv here is
-        # (k_full, v_full, k_scale_layer|None, v_scale_layer|None): value
-        # buffers ride the scan CARRY (aliased in place, zero copies),
-        # scale slabs ride scan xs and the fresh scales return for the
-        # caller's per-layer ys scatter; attn_args carries the layer index.
-        from ..kernels.fused_decode import fused_decode_attention_write
+        # (k_full, v_full, k_scales_pad|None, v_scales_pad|None): value
+        # buffers AND (round 5, VERDICT r4 #8) the lane-PADDED
+        # (L, B, Hkv, Spad) scale slabs ride the scan CARRY aliased in
+        # place — zero per-layer scale xs/ys, zero post-kernel merges;
+        # attn_args carries the layer index.
+        from ..kernels.fused_decode import (
+            fused_decode_aliased_scales,
+            fused_decode_attention_write,
+        )
 
-        k_cache, v_cache, k_scale_l, v_scale_l = cache_kv
+        k_cache, v_cache, k_scales_p, v_scales_p = cache_kv
         pad_lens, offsets, li = attn_args
+        quant = k_scales_p is not None
+        # scale slabs arrive either as FULL padded (L, B, Hkv, Spad)
+        # aliased carry — the round-5 default, measured fastest
+        # (11.6 ms/step) — or PER-LAYER (B, Hkv, S) xs/ys (the round-4
+        # design, selectable via LSS_FUSED_ALIASED_SCALES=0; PERF.md
+        # round-5 scale-slab section)
+        aliased = quant and k_scales_p.ndim == 4
         if tp_mesh is None:
-            res = fused_decode_attention_write(
-                q, k_cache, v_cache, k, v, pad_lens, offsets, li,
-                k_scale_layer=k_scale_l, v_scale_layer=v_scale_l,
-            )
+            if aliased:
+                res = fused_decode_aliased_scales(
+                    q, k_cache, v_cache, k, v, pad_lens, offsets, li,
+                    k_scales_p, v_scales_p,
+                )
+            else:
+                res = fused_decode_attention_write(
+                    q, k_cache, v_cache, k, v, pad_lens, offsets, li,
+                    k_scale_layer=k_scales_p, v_scale_layer=v_scales_p,
+                )
         else:
             # TP: the kernel is per-KV-head independent (attention within
             # the head group, in-register quantize, in-place window write),
@@ -347,18 +365,28 @@ def _block(
             # slot_state_spec layouts).
             from jax.sharding import PartitionSpec as _P
 
-            quant = k_scale_l is not None
             h4 = _P(None, None, "model", None)  # q/k/v: head axis 2
             c5 = _P(None, None, "model", None, None)  # (L,B,Hkv,S,Dh)
-            sc = _P(None, "model", None)  # per-layer (B,Hkv,S) scale slab
+            # scale slabs: per-layer (B,Hkv,S) xs mode (head axis 1) or
+            # full padded (L,B,Hkv,Spad) aliased mode (head axis 2)
+            sc = (
+                _P(None, None, "model", None) if aliased
+                else _P(None, "model", None)
+            )
             in_specs = (h4, c5, c5, h4, h4, _P(), _P(), _P()) + (
                 (sc, sc) if quant else ()
             )
             out_specs = (h4, c5, c5) + (
-                (_P(None, "model"), _P(None, "model")) if quant else ()
+                ((sc, sc) if aliased
+                 else (_P(None, "model"), _P(None, "model")))
+                if quant else ()
             )
 
             def call(q_, kc_, vc_, kn_, vn_, pl_, of_, li_, *scales):
+                if aliased:
+                    return fused_decode_aliased_scales(
+                        q_, kc_, vc_, kn_, vn_, pl_, of_, li_, *scales
+                    )
                 ks_, vs_ = scales if quant else (None, None)
                 return fused_decode_attention_write(
                     q_, kc_, vc_, kn_, vn_, pl_, of_, li_,
@@ -369,7 +397,7 @@ def _block(
                 call, mesh=tp_mesh, in_specs=in_specs, out_specs=out_specs,
                 check_vma=False,
             )(q, k_cache, v_cache, k, v, pad_lens, offsets, li,
-              *((k_scale_l, v_scale_l) if quant else ()))
+              *((k_scales_p, v_scales_p) if quant else ()))
         attn, new_cache_kv = res[0], tuple(res[1:])
     elif attn_kind == "decode_paged_fused":
         # the paged cache's fused treatment (kernels/fused_paged.py): one
@@ -667,6 +695,13 @@ def llama_forward(
             and ps_ % 32 == 0
             and (not kv_cache.quantized or ps_ % 128 == 0)
         ) or jax.default_backend() != "tpu"  # non-TPU → oracle (tests)
+        if attn_impl == "fused" and T == 1 and not fresh_mask_implicit:
+            raise ValueError(
+                "attn_impl='fused' on a T==1 decode step requires "
+                "attn_mask=None (the fused kernel treats the fresh token "
+                "as real); an explicit mask would silently run the XLA "
+                "path instead of the kernel you asked for"
+            )
         if (
             attn_impl == "fused"
             and T == 1
@@ -709,6 +744,13 @@ def llama_forward(
         fused_shape_ok = (
             cfg.head_dim % 128 == 0 and kv_cache.max_len % 32 == 0
         ) or jax.default_backend() != "tpu"  # non-TPU → oracle (tests)
+        if attn_impl == "fused" and T == 1 and not fresh_mask_implicit:
+            raise ValueError(
+                "attn_impl='fused' on a T==1 decode step requires "
+                "attn_mask=None (the fused kernel treats the fresh token "
+                "as real); an explicit mask would silently run the XLA "
+                "path instead of the kernel you asked for"
+            )
         if (
             attn_impl == "fused"
             and T == 1
@@ -799,55 +841,94 @@ def llama_forward(
         assert not return_hidden, "fused decode path is generation-only"
         quantized = kv_cache.quantized
         offsets_arr = attn_args[1]  # (B,)
+        # Round 5 (VERDICT r4 #8): lane-padded scale slabs as aliased scan
+        # carry, like the values — MEASURED FASTER and now the DEFAULT
+        # (11.6 vs 12.5 ms/step at B=128/S=448 int8, alternating-run
+        # confirmed; PERF.md round-5 scale-slab section). Removing the
+        # per-layer scale xs/ys threading and the dense one-hot merge from
+        # the scan body beats the 4 extra slab DMAs per program.
+        # LSS_FUSED_ALIASED_SCALES=0 selects the round-4 xs/ys design.
+        aliased = quantized and os.environ.get(
+            "LSS_FUSED_ALIASED_SCALES", "1"
+        ) == "1"
 
-        def scan_body_fused(carry, xs_l):
-            h, kc, vc, li = carry
-            if quantized:
-                lp, ksl, vsl = xs_l
-            else:
-                lp, ksl, vsl = xs_l, None, None
-            out, new_caches = block(
-                cfg, lp, h, rope_cos, rope_sin, attn_args + (li,),
-                (kc, vc, ksl, vsl),
+        if aliased:
+            S_ = kv_cache.k_scale.shape[-1]
+            Spad_ = ((S_ + 127) // 128) * 128
+            padw = ((0, 0), (0, 0), (0, 0), (0, Spad_ - S_))
+            ksp = jnp.pad(kv_cache.k_scale, padw)
+            vsp = jnp.pad(kv_cache.v_scale, padw)
+
+            def scan_body_fused_aliased(carry, lp):
+                h, kc, vc, ks, vs, li = carry
+                out, (kc, vc, ks, vs) = block(
+                    cfg, lp, h, rope_cos, rope_sin, attn_args + (li,),
+                    (kc, vc, ks, vs),
+                )
+                return (out, kc, vc, ks, vs, li + 1), None
+
+            (x, kc, vc, ksp, vsp, _), _ = jax.lax.scan(
+                scan_body_fused_aliased,
+                (x, kv_cache.k, kv_cache.v, ksp, vsp, jnp.int32(0)),
+                params["layers"],
+                unroll=scan_unroll,
             )
-            if quantized:
-                kc, vc, ksn, vsn = new_caches
-                # scatter the fresh token's scales into this layer's slab
-                # (values were written in place by the kernel; the scale
-                # slabs' lane dim is S, which Mosaic cannot DMA-slice at
-                # non-128-multiple S — so they ride xs/ys, ~1.8 MB/layer).
-                # Dense one-hot select, NOT a vmap'd dynamic-update-slice:
-                # XLA lowers the latter to a scatter, which measured ~13 ms
-                # across the 28-layer scan; the select is a fused
-                # elementwise pass over the slab.
-                S_ = ksl.shape[-1]
-                hit = (
-                    jnp.arange(S_, dtype=jnp.int32)[None, None, :]
-                    == offsets_arr[:, None, None]
-                )  # (B, 1, S)
+            hidden_stack = None
+            new_kv = KVCache(kc, vc, ksp[..., :S_], vsp[..., :S_])
+        else:
 
-                def upd(slab, val):
-                    return jnp.where(hit, val[:, :, None].astype(slab.dtype), slab)
+            def scan_body_fused(carry, xs_l):
+                h, kc, vc, li = carry
+                if quantized:
+                    lp, ksl, vsl = xs_l
+                else:
+                    lp, ksl, vsl = xs_l, None, None
+                out, new_caches = block(
+                    cfg, lp, h, rope_cos, rope_sin, attn_args + (li,),
+                    (kc, vc, ksl, vsl),
+                )
+                if quantized:
+                    kc, vc, ksn, vsn = new_caches
+                    # scatter the fresh token's scales into this layer's
+                    # slab (values were written in place by the kernel; the
+                    # scale slabs' lane dim is S, which Mosaic cannot
+                    # DMA-slice at non-128-multiple S — so they ride xs/ys,
+                    # ~1.8 MB/layer). Dense one-hot select, NOT a vmap'd
+                    # dynamic-update-slice: XLA lowers the latter to a
+                    # scatter, which measured ~13 ms across the 28-layer
+                    # scan; the select is a fused elementwise pass.
+                    S_ = ksl.shape[-1]
+                    hit = (
+                        jnp.arange(S_, dtype=jnp.int32)[None, None, :]
+                        == offsets_arr[:, None, None]
+                    )  # (B, 1, S)
 
-                ys = (upd(ksl, ksn), upd(vsl, vsn))
-            else:
-                kc, vc = new_caches
-                ys = jnp.zeros((0,), h.dtype)
-            return (out, kc, vc, li + 1), ys
+                    def upd(slab, val):
+                        return jnp.where(
+                            hit, val[:, :, None].astype(slab.dtype), slab
+                        )
 
-        xs = (
-            (params["layers"], kv_cache.k_scale, kv_cache.v_scale)
-            if quantized
-            else params["layers"]
-        )
-        (x, kc, vc, _), ys = jax.lax.scan(
-            scan_body_fused,
-            (x, kv_cache.k, kv_cache.v, jnp.int32(0)),
-            xs,
-            unroll=scan_unroll,
-        )
-        hidden_stack = None
-        new_kv = KVCache(kc, vc, ys[0], ys[1]) if quantized else KVCache(kc, vc)
+                    ys = (upd(ksl, ksn), upd(vsl, vsn))
+                else:
+                    kc, vc = new_caches
+                    ys = jnp.zeros((0,), h.dtype)
+                return (out, kc, vc, li + 1), ys
+
+            xs = (
+                (params["layers"], kv_cache.k_scale, kv_cache.v_scale)
+                if quantized
+                else params["layers"]
+            )
+            (x, kc, vc, _), ys = jax.lax.scan(
+                scan_body_fused,
+                (x, kv_cache.k, kv_cache.v, jnp.int32(0)),
+                xs,
+                unroll=scan_unroll,
+            )
+            hidden_stack = None
+            new_kv = (
+                KVCache(kc, vc, ys[0], ys[1]) if quantized else KVCache(kc, vc)
+            )
     elif attn_kind == "decode_paged_fused":
         assert not return_hidden, "fused decode path is generation-only"
         quantized = kv_cache.quantized

@@ -58,7 +58,11 @@ def make_loop(attn_impl: str):
             cache, tok = carry
             out = llama_forward(
                 params, CFG, input_ids=tok,
-                attn_mask=jnp.ones((B, 1), bool),
+                # None, NOT an explicit all-ones mask: the round-4 review
+                # fix gates the fused kernel on the implicit fresh mask
+                # (attn_mask=None); an explicit mask silently falls back
+                # to decode_xla_q and this script measures XLA twice
+                attn_mask=None,
                 positions=jnp.full((B, 1), OFF + i, jnp.int32),
                 kv_cache=cache, cache_offset=jnp.int32(OFF) + i,
                 kv_pad_lens=jnp.zeros((B,), jnp.int32),

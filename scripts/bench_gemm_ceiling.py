@@ -39,26 +39,30 @@ BT = 64 * 384
 
 
 def build(int8: bool):
-    rng = np.random.RandomState(0)
+    # weights are built ON DEVICE (jitted init): materializing ~5.6 GB on
+    # the host and shipping it through the axon tunnel took >10 min
+    @jax.jit
+    def init():
+        key = jax.random.PRNGKey(0)
 
-    def w(m, n):
-        a = (rng.randn(m, n) / np.sqrt(m)).astype(np.float32)
-        if int8:
-            s = np.abs(a).max(axis=0, keepdims=True) / 127.0 + 1e-8
-            return (
-                jnp.asarray(np.clip(np.round(a / s), -127, 127), jnp.int8),
-                jnp.asarray(s, jnp.bfloat16),
-            )
-        return jnp.asarray(a, jnp.bfloat16), None
+        def w(k, m, n):
+            a = jax.random.normal(k, (L, m, n), jnp.float32) / (m ** 0.5)
+            if int8:
+                s = jnp.abs(a).max(axis=1, keepdims=True) / 127.0 + 1e-8
+                return (
+                    jnp.clip(jnp.round(a / s), -127, 127).astype(jnp.int8),
+                    s.astype(jnp.bfloat16),
+                )
+            return a.astype(jnp.bfloat16), None
 
-    layers = []
-    for _ in range(L):
-        layers.append(
-            dict(
-                wqkv=w(D, QKV), wo=w(D, D), wgu=w(D, 2 * I), wd=w(I, D)
-            )
+        ks = jax.random.split(key, 4)
+        return dict(
+            wqkv=w(ks[0], D, QKV), wo=w(ks[1], D, D),
+            wgu=w(ks[2], D, 2 * I), wd=w(ks[3], I, D),
         )
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+    stacked = init()
+    # scale shape: (L, 1, n) -> per-layer (1, n), broadcasting like before
 
     def mm(x, wpair):
         wt, sc = wpair
@@ -77,14 +81,20 @@ def build(int8: bool):
             return h, None
 
         h, _ = jax.lax.scan(body, x, ls)
-        return h
+        # return a TINY value: returning h itself hauls 151 MB back
+        # through the axon tunnel per timed call (~4 s of pure transfer,
+        # 5x the compute being measured)
+        return jnp.sum(h[:8, :8])
 
     return stacked, chain
 
 
 def main():
     assert jax.default_backend() != "cpu", "run on the real chip"
-    x = jnp.asarray(np.random.randn(BT, D).astype(np.float32), jnp.bfloat16)
+    x = jax.jit(
+        lambda: jax.random.normal(jax.random.PRNGKey(1), (BT, D), jnp.float32)
+        .astype(jnp.bfloat16)
+    )()
     flop = 2 * BT * L * (D * QKV + D * D + D * 2 * I + I * D)
     print(f"chain FLOPs = {flop/1e12:.1f} TF at BT={BT}", flush=True)
     for int8 in (False, True):

@@ -128,6 +128,129 @@ def test_oracle_attention_matches_decode_xla_q():
     np.testing.assert_allclose(np.asarray(out), np.asarray(exp), rtol=2e-3, atol=2e-3)
 
 
+def _aliased_case(seed=0, L=2, B=4, Hq=6, Hkv=2, S=64, Dh=128):
+    from llm_speech_summarization_tpu.kernels.fused_decode import _pad128
+
+    rng = np.random.RandomState(seed)
+    Spad = _pad128(S)
+    q = jnp.asarray(rng.randn(B, 1, Hq, Dh).astype(np.float32))
+    kn = jnp.asarray(rng.randn(B, 1, Hkv, Dh).astype(np.float32))
+    vn = jnp.asarray(rng.randn(B, 1, Hkv, Dh).astype(np.float32))
+    pads = jnp.asarray(rng.randint(0, 5, size=(B,)).astype(np.int32))
+    offs = jnp.asarray(np.array([31, 32, S - 1, 17] * ((B + 3) // 4))[:B]
+                       .astype(np.int32))
+    kc = jnp.asarray(rng.randint(-127, 128, size=(L, B, Hkv, S, Dh)).astype(np.int8))
+    vc = jnp.asarray(rng.randint(-127, 128, size=(L, B, Hkv, S, Dh)).astype(np.int8))
+    ks = jnp.zeros((L, B, Hkv, Spad), jnp.bfloat16).at[..., :S].set(
+        jnp.asarray(0.02 + 0.1 * rng.rand(L, B, Hkv, S), jnp.bfloat16))
+    vs = jnp.zeros((L, B, Hkv, Spad), jnp.bfloat16).at[..., :S].set(
+        jnp.asarray(0.02 + 0.1 * rng.rand(L, B, Hkv, S), jnp.bfloat16))
+    return q, kc, vc, kn, vn, pads, offs, ks, vs
+
+
+@pytest.mark.parametrize("layer", [0, 1])
+def test_aliased_scale_kernel_matches_oracle(layer):
+    """Aliased-scale mode (VERDICT r4 #8): interpret-mode kernel ==
+    fused_reference_aliased, including the in-place padded-slab scale
+    writes and the untouched other layer."""
+    from llm_speech_summarization_tpu.kernels.fused_decode import (
+        fused_decode_aliased_scales,
+        fused_reference_aliased,
+    )
+
+    case = _aliased_case()
+    q, kc, vc, kn, vn, pads, offs, ks, vs = case
+    li = jnp.int32(layer)
+    ref = fused_reference_aliased(q, kc, vc, kn, vn, pads, offs, li, ks, vs)
+    got = fused_decode_aliased_scales(
+        q, kc, vc, kn, vn, pads, offs, li, ks, vs, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-3, atol=1e-4
+    )
+    for g, r, name in zip(got[1:], ref[1:], ("k", "v", "ks", "vs")):
+        np.testing.assert_array_equal(
+            np.asarray(g).astype(np.float32), np.asarray(r).astype(np.float32),
+            err_msg=f"buffer {name} (layer {layer})",
+        )
+
+
+def test_aliased_scale_oracle_matches_base_reference():
+    """The aliased-scale oracle's attention + value writes are the BASE
+    oracle's; scales land at (layer, b, :, off) of the padded slab and the
+    pad lanes stay untouched."""
+    from llm_speech_summarization_tpu.kernels.fused_decode import (
+        fused_reference,
+        fused_reference_aliased,
+    )
+
+    case = _aliased_case(seed=3)
+    q, kc, vc, kn, vn, pads, offs, ks, vs = case
+    S = kc.shape[3]
+    base = fused_reference(
+        q, kc, vc, kn, vn, pads, offs, jnp.int32(1),
+        k_scale_layer=ks[1][..., :S], v_scale_layer=vs[1][..., :S],
+    )
+    ali = fused_reference_aliased(
+        q, kc, vc, kn, vn, pads, offs, jnp.int32(1), ks, vs
+    )
+    np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(ali[0]))
+    np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(ali[1]))
+    np.testing.assert_array_equal(np.asarray(base[2]), np.asarray(ali[2]))
+    ks2, vs2 = np.asarray(ali[3], np.float32), np.asarray(ali[4], np.float32)
+    ksn, vsn = np.asarray(base[3], np.float32), np.asarray(base[4], np.float32)
+    exp_ks = np.asarray(ks, np.float32).copy()
+    exp_vs = np.asarray(vs, np.float32).copy()
+    for b, off in enumerate(np.asarray(offs)):
+        exp_ks[1, b, :, off] = ksn[b]
+        exp_vs[1, b, :, off] = vsn[b]
+    np.testing.assert_array_equal(ks2, exp_ks)
+    np.testing.assert_array_equal(vs2, exp_vs)
+
+
+def test_llama_forward_aliased_scale_mode(monkeypatch):
+    """LSS_FUSED_ALIASED_SCALES=1 routes the fused decode scan through the
+    padded aliased-scale kernel; logits, cache contents, and scale slabs
+    must match the default xs/ys fused path exactly (the mode is a pure
+    layout experiment — PERF.md round-5 scale-slab section)."""
+    from llm_speech_summarization_tpu.models.llama import (
+        init_kv_cache, init_llama_params, llama_forward, llama_preset,
+    )
+
+    cfg = llama_preset("tiny")
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    B, L = 2, 8
+    rng = np.random.RandomState(2)
+    ids = jnp.asarray(rng.randint(0, cfg.vocab_size, size=(B, L)))
+    mask = jnp.ones((B, L), bool)
+    cache = init_kv_cache(cfg, B, L + 4, dtype=jnp.int8)
+    out = llama_forward(
+        params, cfg, input_ids=ids, attn_mask=mask,
+        kv_cache=cache, cache_offset=jnp.int32(0), last_logit_only=True,
+    )
+    tok = jnp.argmax(out.logits[:, -1], -1)[:, None]
+    pads = jnp.zeros((B,), jnp.int32)
+
+    def step(c, env):
+        monkeypatch.setenv("LSS_FUSED_ALIASED_SCALES", env)
+        return llama_forward(
+            params, cfg, input_ids=tok, attn_mask=None,
+            positions=jnp.full((B, 1), L, jnp.int32), kv_cache=c,
+            cache_offset=jnp.int32(L), kv_pad_lens=pads, attn_impl="fused",
+        )
+
+    o_xs = step(out.kv_cache, "0")
+    o_al = step(out.kv_cache, "1")
+    np.testing.assert_allclose(
+        np.asarray(o_xs.logits), np.asarray(o_al.logits), rtol=1e-5, atol=1e-5
+    )
+    for a, b in zip(o_xs.kv_cache, o_al.kv_cache):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
 # measured on-chip single-step logit delta between the fused kernel and
 # the XLA decode formulation (PERF.md round-4 fused-decode section)
 KERNEL_DELTA = 2e-4
@@ -228,12 +351,15 @@ def test_llama_forward_fused_matches_default(cache_dtype):
     for step in range(4):
         off = L + step
         pos = (jnp.sum(mask.astype(jnp.int32), 1) + step)[:, None]
+        # attn_mask=None on BOTH: an explicit mask de-licenses the fused
+        # kernel (and now raises on an explicit fused request) — this test
+        # silently compared XLA to XLA until round 5 caught it
         ox = llama_forward(
-            params, cfg, input_ids=tx, attn_mask=jnp.ones((B, 1), bool),
+            params, cfg, input_ids=tx, attn_mask=None,
             positions=pos, kv_cache=c_x, cache_offset=off, kv_pad_lens=pad,
         )
         of = llama_forward(
-            params, cfg, input_ids=tf, attn_mask=jnp.ones((B, 1), bool),
+            params, cfg, input_ids=tf, attn_mask=None,
             positions=pos, kv_cache=c_f, cache_offset=off, kv_pad_lens=pad,
             attn_impl="fused",
         )
