@@ -8,11 +8,14 @@ the output-history n-gram drafter predicts perfectly and acceptance ≈ 1.
 Asserts the governor PROMOTES (acceptance above threshold after the run)
 and reports spec vs plain wall/req-throughput on the same traffic.
 
-Uses the tiny config: promotion economics live in CHUNK-BOUNDARY counts
-(each chunk is a ~0.15 s remote dispatch on this tunnel), which the tiny
-model exposes directly without 3B compile times.
+Default uses the tiny config: promotion economics live in CHUNK-BOUNDARY
+counts (each chunk is a ~0.15 s remote dispatch on this tunnel), which
+the tiny model exposes directly without 3B compile times. ``--full``
+(VERDICT r4 #5) repeats the proof on the full-size 3B config — the
+serving point where a verify round costs ~1.17x a plain step — with
+fewer requests to bound the run.
 
-Run: python scripts/bench_spec_promote.py  (real TPU; ~2 min warm)
+Run: python scripts/bench_spec_promote.py [--full]  (real TPU)
 """
 
 import sys
@@ -39,8 +42,13 @@ from llm_speech_summarization_tpu.serve.server import (  # noqa: E402
     _Request,
 )
 
-TINY_YAML = "llm_speech_summarization_tpu/configs/yaml/tiny_test.yaml"
-N_REQ = 16
+FULL = "--full" in sys.argv
+CFG_YAML = (
+    "llm_speech_summarization_tpu/configs/yaml/llama3_hubert.yaml"
+    if FULL
+    else "llm_speech_summarization_tpu/configs/yaml/tiny_test.yaml"
+)
+N_REQ = 8 if FULL else 16
 BUDGET = 64
 
 
@@ -80,7 +88,7 @@ def run(engine, spec_k: int):
 
 
 def main():
-    engine = LLMSpeechTextInference(load_config(TINY_YAML))
+    engine = LLMSpeechTextInference(load_config(CFG_YAML))
     engine.llm_params = jax.tree_util.tree_map(
         lambda a: a * 0 if jnp.issubdtype(a.dtype, jnp.floating) else a,
         engine.llm_params,
