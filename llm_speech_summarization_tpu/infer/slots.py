@@ -266,7 +266,34 @@ class SlotDecoder:
         sampling=None,  # optional per-request [(temperature, top_k, top_p,
         # seed), ...] — None / temperature<=0 rows decode greedily
     ) -> None:
+        """Prefill ``len(slot_ids)`` requests into their slots.
+
+        ``embeds``/``mask`` MAY carry more rows than ``slot_ids``: the
+        trailing rows are treated as batch padding (they prefill into the
+        out-of-range drop slot ``n_slots`` with budget 0 — every scatter
+        uses mode="drop", so they write nowhere). The serving builder
+        already pads waves to a power-of-two batch
+        (engine._pad_batch), and passing those buffers through UNSLICED is
+        the zero-eager-op path: slicing to the real count and re-padding
+        here costs per-(count, reps) jnp slice/tile/concat dispatches —
+        each distinct real count is a fresh XLA compile that warmup's
+        exact-power-of-two ladder can never cover (measured: 4.5-5.5 s of
+        mid-wave admit stalls on the serving burst, PERF.md round 5)."""
         n, T, _ = embeds.shape
+        n_real_req = len(slot_ids)
+        if n_real_req > n:
+            raise ValueError(
+                f"{n_real_req} slot_ids for {n} embed rows"
+            )
+        if len(budgets) != n_real_req:
+            raise ValueError("slot_ids and budgets must have equal length")
+        if n_real_req < n:
+            # pre-padded wave: trailing rows target the drop slot. Host
+            # list extension only — no device ops.
+            slot_ids = list(slot_ids) + [self.n_slots] * (n - n_real_req)
+            budgets = list(budgets) + [0] * (n - n_real_req)
+            if sampling is not None:
+                sampling = list(sampling) + [None] * (n - n_real_req)
         if T > self.max_prompt_len:
             # a real request-contract error (not an assert: must survive -O
             # and produce an actionable message at the serving layer).
@@ -283,8 +310,9 @@ class SlotDecoder:
         # program per (n, T), and warmup() pre-compiles exactly the pow2
         # sizes — arbitrary wave sizes would stall live traffic on fresh
         # compiles. Padded rows target slot id N (out of range): every
-        # scatter uses mode="drop", so they write nowhere.
-        n_real = n
+        # scatter uses mode="drop", so they write nowhere. (Serving waves
+        # arrive pre-padded and skip this device-op path entirely, above.)
+        n_real = n_real_req  # drop rows never reserve pages / write tables
         n_pad = 1
         while n_pad < n:
             n_pad *= 2

@@ -403,6 +403,12 @@ class ContinuousBatchingEngine:
         # α≈0 serve bench measured −33% req/s, PERF.md)
         self.spec_governor = _SpecGovernor(spec_k) if spec_k > 0 else None
         self._spec_prev: Dict[int, tuple] = {}  # slot → (req, n_emitted)
+        # LSS_SCHED_TRACE=1: one stderr line per scheduler iteration with
+        # the phase walls (admit / chunk dispatch / fused read) plus one
+        # per builder wave — the measurement tool behind PERF.md's serving
+        # wall attribution, and the first thing to turn on when a serving
+        # number drifts (host-side only; zero device work when off)
+        self._trace = os.environ.get("LSS_SCHED_TRACE") == "1"
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._prepared: "queue.Queue" = queue.Queue()
         self._pending_wave = None
@@ -578,6 +584,7 @@ class ContinuousBatchingEngine:
                 groups.setdefault((r.kind, r.text_prompt), []).append(r)
             for (kind, text_prompt), reqs in groups.items():
                 try:
+                    t_build0 = time.monotonic()
                     if kind == "text":
                         embeds, mask = self.engine.build_text_prompt_batch(
                             [r.payload for r in reqs]
@@ -586,8 +593,22 @@ class ContinuousBatchingEngine:
                         embeds, mask = self.engine.build_audio_prompt_batch(
                             [r.payload for r in reqs], additional_text_prompt=text_prompt
                         )
-                    n = len(reqs)  # builders pad B up; admit only real rows
-                    self._prepared.put((embeds[:n], mask[:n], reqs))
+                    # builders pad B up to a power of two; pass the padded
+                    # buffers through UNSLICED (rows beyond len(reqs) are
+                    # admit()'s drop-slot padding). Slicing here and
+                    # re-padding in admit cost per-wave-size eager device
+                    # ops — each distinct real count was a fresh mid-wave
+                    # XLA compile that warmup's exact-pow2 ladder never
+                    # covers (measured 4.5-5.5 s admit stalls, PERF.md r5).
+                    self._prepared.put((embeds, mask, reqs))
+                    if self._trace:
+                        import sys as _sys
+
+                        print(
+                            f"[build] wave n={len(reqs)} kind={kind} "
+                            f"wall={time.monotonic() - t_build0:.3f}s",
+                            file=_sys.stderr, flush=True,
+                        )
                 except Exception as e:  # surface per-request
                     for r in reqs:
                         r.error = f"{type(e).__name__}: {e}"
@@ -753,6 +774,7 @@ class ContinuousBatchingEngine:
         device/RPC failure is survivable). Returns the updated
         (flags, pending) mirror state."""
         self._iter += 1
+        t_iter0 = time.monotonic()
         if flags is None:
             flags = self.decoder.sync_flags()
         # release cancelled requests' slots BEFORE admission so freed
@@ -770,7 +792,11 @@ class ContinuousBatchingEngine:
                 if r.stream:
                     r.partials.put(None)
                 r.event.set()
+        t_admit0 = time.monotonic()
         self._admit_wave(flags)
+        t_admit = time.monotonic() - t_admit0
+        t_disp = 0.0
+        k = 0
         if self._by_slot:
             k = self._pick_chunk(flags)
             # speculative chunks verify exact greedy streams — only
@@ -794,6 +820,7 @@ class ContinuousBatchingEngine:
                 # commit multiple tokens anyway, so the base chunk
                 # already covers the budget a grown plain chunk would.
                 k = self.chunk_steps
+            t_disp0 = time.monotonic()
             dev = (
                 self.decoder.decode_chunk(
                     k, return_flags=True, sync=False, spec=spec
@@ -802,6 +829,7 @@ class ContinuousBatchingEngine:
                 spec,
                 k,
             )
+            t_disp = time.monotonic() - t_disp0
             self.batches_run += 1
             # optimistic mirror advance (budget-bound progression)
             done, budgets, counts = flags[0], flags[1], flags[2]
@@ -810,9 +838,12 @@ class ContinuousBatchingEngine:
             done |= (budgets > 0) & (counts >= budgets)
         else:
             dev = None
+        t_read = 0.0
         if pending is not None:
             fused, dispatch_iter, was_spec, k_disp = pending
+            t_read0 = time.monotonic()
             actual = self.decoder.to_host_flags(fused)
+            t_read = time.monotonic() - t_read0
             # STALENESS GUARD: `actual` reflects a chunk dispatched at
             # dispatch_iter — BEFORE any harvest/admission issued since.
             # A slot harvested then re-admitted in between still shows
@@ -888,6 +919,15 @@ class ContinuousBatchingEngine:
                     req.partials.put(None)  # end-of-stream
                 self.requests_served += 1
                 req.event.set()
+        if self._trace and (k or t_read or t_admit > 1e-3):
+            import sys as _sys
+
+            print(
+                f"[sched] it={self._iter} live={len(self._by_slot)} k={k} "
+                f"admit={t_admit:.3f}s dispatch={t_disp:.3f}s "
+                f"read={t_read:.3f}s total={time.monotonic() - t_iter0:.3f}s",
+                file=_sys.stderr, flush=True,
+            )
         pending = dev
         if pending is None and not self._by_slot:
             # idle: the mirror is EXACT (harvest/cancel reconciled every

@@ -435,3 +435,56 @@ def test_scheduler_survives_transient_decode_failure():
         assert got == want
     finally:
         cb.shutdown()
+
+
+def test_admit_prepadded_wave_matches_exact(engine):
+    """Serving waves arrive power-of-two PRE-PADDED from the builder and
+    admit() treats rows beyond len(slot_ids) as drop-slot padding — token
+    streams must equal an exact-count admit, and (paged) the drop rows
+    must reserve zero pages. Pins the zero-eager-op admission contract
+    (PERF.md round 5: the slice-then-re-pad round trip compiled a fresh
+    per-wave-size program mid-traffic)."""
+    texts = ["prepadded wave row one", "row two", "row three"]
+    embeds, mask = engine.build_text_prompt_batch(texts)  # pads 3 -> 4 rows
+    assert embeds.shape[0] == 4
+    want = engine.generate_text_response_batch(texts, max_new_tokens=12)
+
+    for paged in (False, True):
+        dec = SlotDecoder(
+            engine.llm_params, engine.llm_cfg, eos_id=engine.tokenizer.eos_id,
+            n_slots=6, max_prompt_len=256, max_new_tokens=16,
+            cache_dtype=engine.cache_dtype, paged=paged, page_size=64,
+        )
+        free0 = dec.allocator.free_pages if paged else None
+        # 3 slot_ids for 4 embed rows: row 3 is builder padding
+        dec.admit(embeds, mask, [0, 1, 2], [12, 12, 12])
+        if paged:
+            held = sum(
+                int(np.count_nonzero(dec._host_table[s])) for s in (0, 1, 2)
+            )
+            # ONLY the real rows reserved pages; the pad row took none
+            assert dec.allocator.free_pages == free0 - held
+            assert np.count_nonzero(dec._host_table[3:]) == 0
+        _drain(dec)
+        got = {}
+        for slot, tokens, cnt in dec.harvest():
+            got[slot] = engine.tokenizer.decode(
+                tokens[: min(cnt, 12)].tolist(), skip_special_tokens=True
+            )
+        assert [got[0], got[1], got[2]] == want, f"paged={paged}"
+        if paged:
+            assert dec.allocator.free_pages == free0
+
+
+def test_admit_rejects_more_slots_than_rows(engine):
+    texts = ["one"]
+    embeds, mask = engine.build_text_prompt_batch(texts)
+    dec = SlotDecoder(
+        engine.llm_params, engine.llm_cfg, eos_id=engine.tokenizer.eos_id,
+        n_slots=4, max_prompt_len=256, max_new_tokens=8,
+        cache_dtype=engine.cache_dtype,
+    )
+    with pytest.raises(ValueError, match="slot_ids"):
+        dec.admit(embeds, mask, [0, 1], [8, 8])
+    with pytest.raises(ValueError, match="equal length"):
+        dec.admit(embeds, mask, [0], [8, 8])
