@@ -114,8 +114,13 @@ class SlotDecoder:
         self.max_new = max_new_tokens
         # + spec headroom: a verification round writes its spec_k+1 fresh
         # K/V at the row's offset BEFORE knowing how many commit, so the
-        # last round of a budget-exhausting row can touch offset+spec_k
+        # last round of a budget-exhausting row can touch offset+spec_k.
+        # Rounded up to a 32 multiple: the fused decode kernels require
+        # S % 32 == 0 (kernels/fused_decode.py WINDOW) — before round 5 the
+        # +spec_k+1 headroom silently knocked every spec-enabled decoder
+        # (including its plain T==1 chunks) off the fused path.
         self.max_len = max_prompt_len + max_new_tokens + (spec_k + 1 if spec_k else 0)
+        self.max_len = (self.max_len + 31) // 32 * 32
         # paged mode (infer/paged.py): ceil(len/page_size) pages per row
         # instead of max_len reserved per slot; bf16 or int8 pools (int8
         # halves pool bytes — the dense cache stays the latency champion,
@@ -158,8 +163,10 @@ class SlotDecoder:
                 jax.device_put, self.state, self._state_shardings
             )
         # fused decode attention+write kernels (dense: kernels/
-        # fused_decode.py; paged: kernels/fused_paged.py; T==1 steps only —
-        # spec-verify forwards fall through to their usual paths inside
+        # fused_decode.py — T==1 steps AND, round 5, the T==spec_k+1
+        # verification forwards via the aliased-scale kernel; paged:
+        # kernels/fused_paged.py, T==1 steps only — paged spec-verify
+        # forwards fall through to the XLA paged path inside
         # llama_forward). LSS_FUSED_DECODE=0 reverts to the XLA decode.
         #
         # Under a model-sharded mesh the fused kernels run inside an
@@ -838,11 +845,16 @@ class SlotDecoder:
                     positions = (s.offsets - s.pad_lens)[:, None] + jnp.arange(
                         K + 1, dtype=jnp.int32
                     )[None, :]
+                    # attn_mask=None: every fresh draft token is REAL (the
+                    # implicit-mask contract) — this is what lets the dense
+                    # branch take the fused multi-token kernel (round 5,
+                    # models/llama.py decode_fused T>1); semantics are
+                    # identical to the all-ones mask it defaults to.
                     if paged:
                         out = llama_forward(
                             params, cfg, attn_impl=attn_impl, tp_mesh=tp_mesh,
                             input_ids=seq,
-                            attn_mask=jnp.ones((N, K + 1), bool),
+                            attn_mask=None,
                             positions=positions,
                             # paged verification: cached window [pad, offset)
                             # + causal fresh block; write_tokens scatters the
@@ -855,7 +867,7 @@ class SlotDecoder:
                         out = llama_forward(
                             params, cfg, attn_impl=attn_impl, tp_mesh=tp_mesh,
                             input_ids=seq,
-                            attn_mask=jnp.ones((N, K + 1), bool),
+                            attn_mask=None,
                             positions=positions,
                             kv_cache=s.cache,
                             cache_offset=s.offsets,  # per-row depths

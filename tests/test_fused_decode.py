@@ -48,7 +48,12 @@ def _call(fn, case, layer, interpret=None):
     )
     if interpret is not None:
         kwargs["interpret"] = interpret
-    return fn(q, kc, vc, kn, vn, pads, offs, li, **kwargs)
+    res = fn(q, kc, vc, kn, vn, pads, offs, li, **kwargs)
+    if fn is fused_reference and len(res) == 5:
+        # the oracle returns (B, Hkv, T) scales (round-5 multi-token
+        # generalization); the T == 1 base kernel returns (B, Hkv)
+        res = res[:3] + (res[3][..., 0], res[4][..., 0])
+    return res
 
 
 @pytest.mark.parametrize("quantized", [True, False])
@@ -198,7 +203,11 @@ def test_aliased_scale_oracle_matches_base_reference():
     np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(ali[1]))
     np.testing.assert_array_equal(np.asarray(base[2]), np.asarray(ali[2]))
     ks2, vs2 = np.asarray(ali[3], np.float32), np.asarray(ali[4], np.float32)
-    ksn, vsn = np.asarray(base[3], np.float32), np.asarray(base[4], np.float32)
+    # base oracle scales are (B, Hkv, T) since round 5; T == 1 here
+    ksn, vsn = (
+        np.asarray(base[3], np.float32)[..., 0],
+        np.asarray(base[4], np.float32)[..., 0],
+    )
     exp_ks = np.asarray(ks, np.float32).copy()
     exp_vs = np.asarray(vs, np.float32).copy()
     for b, off in enumerate(np.asarray(offs)):
@@ -376,3 +385,147 @@ def test_llama_forward_fused_matches_default(cache_dtype):
         tf = jnp.argmax(of.logits[:, 0], -1)[:, None]
         assert (np.asarray(tx) == np.asarray(tf)).all()
         c_x, c_f = ox.kv_cache, of.kv_cache
+
+
+# ---- round 5: multi-token (speculative verification) fused decode ----
+
+
+def _aliased_case_T(seed=0, L=2, B=4, Hq=6, Hkv=2, S=64, Dh=128, T=5):
+    """Aliased-mode case with T fresh tokens; offsets include window-edge
+    and window-CROSSING placements ((off % 32) + T > 32) and the S - T
+    headroom boundary."""
+    from llm_speech_summarization_tpu.kernels.fused_decode import _pad128
+
+    rng = np.random.RandomState(seed)
+    Spad = _pad128(S)
+    q = jnp.asarray(rng.randn(B, T, Hq, Dh).astype(np.float32))
+    kn = jnp.asarray(rng.randn(B, T, Hkv, Dh).astype(np.float32))
+    vn = jnp.asarray(rng.randn(B, T, Hkv, Dh).astype(np.float32))
+    pads = jnp.asarray(rng.randint(0, 5, size=(B,)).astype(np.int32))
+    offs = jnp.asarray(
+        np.array([30, 32, S - T, 17] * ((B + 3) // 4))[:B].astype(np.int32)
+    )
+    kc = jnp.asarray(rng.randint(-127, 128, size=(L, B, Hkv, S, Dh)).astype(np.int8))
+    vc = jnp.asarray(rng.randint(-127, 128, size=(L, B, Hkv, S, Dh)).astype(np.int8))
+    ks = jnp.zeros((L, B, Hkv, Spad), jnp.bfloat16).at[..., :S].set(
+        jnp.asarray(0.02 + 0.1 * rng.rand(L, B, Hkv, S), jnp.bfloat16))
+    vs = jnp.zeros((L, B, Hkv, Spad), jnp.bfloat16).at[..., :S].set(
+        jnp.asarray(0.02 + 0.1 * rng.rand(L, B, Hkv, S), jnp.bfloat16))
+    return q, kc, vc, kn, vn, pads, offs, ks, vs
+
+
+@pytest.mark.parametrize("T", [2, 5])
+@pytest.mark.parametrize("layer", [0, 1])
+def test_multitoken_aliased_kernel_matches_oracle(T, layer):
+    """T > 1 (spec verification forward): interpret-mode kernel ==
+    fused_reference_aliased — attention with the causal fresh block AND the
+    [offset, offset+T) value/scale writes, incl. offsets whose window
+    crosses a 32-boundary."""
+    from llm_speech_summarization_tpu.kernels.fused_decode import (
+        fused_decode_aliased_scales,
+        fused_reference_aliased,
+    )
+
+    case = _aliased_case_T(T=T)
+    q, kc, vc, kn, vn, pads, offs, ks, vs = case
+    li = jnp.int32(layer)
+    ref = fused_reference_aliased(q, kc, vc, kn, vn, pads, offs, li, ks, vs)
+    got = fused_decode_aliased_scales(
+        q, kc, vc, kn, vn, pads, offs, li, ks, vs, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-3, atol=1e-4
+    )
+    for g, r, name in zip(got[1:], ref[1:], ("k", "v", "ks", "vs")):
+        np.testing.assert_array_equal(
+            np.asarray(g).astype(np.float32), np.asarray(r).astype(np.float32),
+            err_msg=f"buffer {name} (layer {layer}, T {T})",
+        )
+
+
+def test_multitoken_oracle_matches_decode_xla_q_math():
+    """T > 1 oracle attention == the dense decode_xla_q formulation (cache
+    window + causal fresh block), same construction as the T == 1 test."""
+    from llm_speech_summarization_tpu.models.llama import dequantize_kv
+
+    T = 4
+    case = _case(quantized=True, seed=7)
+    q1, kc, vc, _, _, pads, offs, ks, vs = case
+    B, _, Hq, Dh = q1.shape
+    Hkv, S = kc.shape[2], kc.shape[3]
+    rng = np.random.RandomState(11)
+    q = jnp.asarray(rng.randn(B, T, Hq, Dh).astype(np.float32))
+    kn = jnp.asarray(rng.randn(B, T, Hkv, Dh).astype(np.float32))
+    vn = jnp.asarray(rng.randn(B, T, Hkv, Dh).astype(np.float32))
+    offs = jnp.minimum(offs, S - T)
+    out = fused_reference(
+        q, kc, vc, kn, vn, pads, offs, jnp.int32(0),
+        k_scale_layer=ks[0], v_scale_layer=vs[0],
+    )[0]
+
+    kd = dequantize_kv(kc[0], ks[0], jnp.float32)
+    vd = dequantize_kv(vc[0], vs[0], jnp.float32)
+    group = Hq // Hkv
+    qg = q.reshape(B, T, Hkv, group, Dh)
+    s_c = jnp.einsum("bthgd,bhsd->bthgs", qg, kd) * (Dh ** -0.5)
+    slot = jnp.arange(S)
+    valid = (slot[None, :] >= pads[:, None]) & (slot[None, :] < offs[:, None])
+    s_c = jnp.where(valid[:, None, None, None, :], s_c, -1e30)
+    s_f = jnp.einsum("bthgd,bshd->bthgs", qg, kn) * (Dh ** -0.5)
+    causal = jnp.arange(T)[:, None] >= jnp.arange(T)[None, :]
+    s_f = jnp.where(causal[None, :, None, None, :], s_f, -1e30)
+    m = jnp.maximum(s_c.max(-1, keepdims=True), s_f.max(-1, keepdims=True))
+    p_c, p_f = jnp.exp(s_c - m), jnp.exp(s_f - m)
+    den = p_c.sum(-1, keepdims=True) + p_f.sum(-1, keepdims=True)
+    pv = jnp.einsum("bthgs,bhsd->bthgd", p_c, vd) + jnp.einsum(
+        "bthgs,bshd->bthgd", p_f, vn
+    )
+    exp = (pv / den).reshape(B, T, Hq, Dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp), rtol=2e-3, atol=2e-3)
+
+
+def test_llama_forward_fused_spec_verify_matches_default():
+    """attn_impl='fused' on a T=3 verification forward (int8 cache,
+    attn_mask=None, per-row offsets) == the decode_xla_q default: logits
+    AND post-write cache contents. This is the llama_forward surface the
+    slot scheduler's spec chunks call (infer/slots.py::_spec_chunk_fn)."""
+    from llm_speech_summarization_tpu.models.llama import (
+        init_kv_cache, init_llama_params, llama_forward, llama_preset,
+    )
+
+    cfg = llama_preset("tiny")
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    B, L, K1 = 3, 12, 3
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, cfg.vocab_size, size=(B, L)))
+    pads = np.array([0, 4, 2], np.int32)
+    mask = jnp.asarray(np.arange(L)[None, :] >= pads[:, None])
+    S = 32  # fused alignment (S % 32 == 0) with K1 headroom
+    cache = init_kv_cache(cfg, B, S, dtype=jnp.int8)
+    out = llama_forward(
+        params, cfg, input_ids=ids, attn_mask=mask,
+        kv_cache=cache, cache_offset=jnp.int32(0), last_logit_only=True,
+    )
+    seq = jnp.asarray(rng.randint(0, cfg.vocab_size, size=(B, K1)))
+    offsets = jnp.asarray([L, L, L], jnp.int32)  # per-row form (spec path)
+    positions = (offsets - jnp.asarray(pads))[:, None] + jnp.arange(K1)[None, :]
+    kw = dict(
+        input_ids=seq, attn_mask=None, positions=positions,
+        kv_cache=out.kv_cache, cache_offset=offsets,
+        kv_pad_lens=jnp.asarray(pads),
+    )
+    o_x = llama_forward(params, cfg, attn_impl="xla", **kw)
+    o_f = llama_forward(params, cfg, attn_impl="fused", **kw)
+    np.testing.assert_allclose(
+        np.asarray(o_x.logits), np.asarray(o_f.logits), rtol=2e-4, atol=2e-4
+    )
+    assert (
+        np.asarray(jnp.argmax(o_x.logits, -1))
+        == np.asarray(jnp.argmax(o_f.logits, -1))
+    ).all()
+    for a, b, name in zip(o_x.kv_cache, o_f.kv_cache, o_x.kv_cache._fields):
+        if a is not None:
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-5, atol=1e-5, err_msg=name,
+            )
